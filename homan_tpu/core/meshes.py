@@ -1,0 +1,180 @@
+"""Mesh loading, normalization, and scene assembly (host-side numpy).
+
+Absorbs: trimesh usage in the reference datasets (obj loading + inscribed-
+sphere normalization, homan/datasets/core50.py:18-45), and
+homan/meshutils.py:7-57 get_faces_and_textures (flat per-face colors packed
+into a single scene mesh for visualization).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+# Flat palette (matches the named colors used by the reference's NMR wrapper,
+# homan/utils/nmr_renderer.py:7-23).
+COLORS = {
+    "blue": (0.65098039, 0.74117647, 0.85882353),
+    "grey": (0.65, 0.65, 0.65),
+    "green": (0.44, 0.75, 0.44),
+    "gold": (0.85, 0.7, 0.2),
+    "red": (251 / 255.0, 128 / 255.0, 114 / 255.0),
+    "pink": (0.9, 0.7, 0.7),
+    "white": (1.0, 1.0, 1.0),
+    "purple": (0.7, 0.55, 0.9),
+}
+
+
+def load_obj(path: str):
+    """Minimal OBJ reader: vertices + triangulated faces (fan triangulation).
+
+    Returns (verts float32 (V,3), faces int32 (F,3)).
+    """
+    verts, faces = [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as f:
+        for v in np.asarray(verts):
+            f.write(f"v {v[0]:f} {v[1]:f} {v[2]:f}\n")
+        for face in np.asarray(faces):
+            f.write(f"f {face[0] + 1:d} {face[1] + 1:d} {face[2] + 1:d}\n")
+
+
+def normalize_to_inscribed_sphere(verts: np.ndarray, scale: float = 1.0):
+    """Center on the bbox centroid and scale so max |v| = scale/2.
+
+    Mirrors the exemplar-mesh normalization of homan/datasets/core50.py:18-45
+    (mesh fits a sphere of diameter `scale` meters).
+    """
+    verts = np.asarray(verts, np.float64)
+    center = (verts.max(0) + verts.min(0)) / 2
+    centered = verts - center
+    radius = np.linalg.norm(centered, axis=1).max()
+    return (centered / radius * (scale / 2)).astype(np.float32)
+
+
+def icosphere(subdivisions: int = 2, radius: float = 1.0):
+    """Procedural icosphere (V, 3), (F, 3) — synthetic object for tests/bench."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+         [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+         [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    verts = list(verts)
+    cache = {}
+
+    def midpoint(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in cache:
+            m = (verts[a] + verts[b]) / 2
+            m /= np.linalg.norm(m)
+            cache[key] = len(verts)
+            verts.append(m)
+        return cache[key]
+
+    for _ in range(subdivisions):
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        faces = new_faces
+    return (np.asarray(verts, np.float32) * radius, np.asarray(faces, np.int32))
+
+
+def decimate(verts: np.ndarray, faces: np.ndarray, target_faces: int):
+    """Cheap vertex-clustering decimation for coarse-fit meshes.
+
+    Used to build the low-face-count meshes that speed up stage-B candidate
+    search (design choice of the TPU rebuild; the reference instead pre-
+    simplifies meshes offline with ManifoldPlus+ACVD,
+    meshprocess/simplifymesh.py:28-104).
+    """
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    if faces.shape[0] <= target_faces:
+        return verts.astype(np.float32), faces.astype(np.int32)
+    lo, hi = verts.min(0), verts.max(0)
+    extent = np.maximum(hi - lo, 1e-9)
+    # Binary-search grid resolution to approach the target face count.
+    best = None
+    for res in range(64, 2, -2):
+        cell = np.floor((verts - lo) / extent * (res - 1e-6)).astype(np.int64)
+        key = cell[:, 0] * res * res + cell[:, 1] * res + cell[:, 2]
+        uniq, inverse = np.unique(key, return_inverse=True)
+        new_verts = np.zeros((len(uniq), 3))
+        counts = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+        for c in range(3):
+            new_verts[:, c] = np.bincount(
+                inverse, weights=verts[:, c], minlength=len(uniq)) / counts
+        new_faces = inverse[faces]
+        keep = ((new_faces[:, 0] != new_faces[:, 1])
+                & (new_faces[:, 1] != new_faces[:, 2])
+                & (new_faces[:, 0] != new_faces[:, 2]))
+        new_faces = new_faces[keep]
+        if new_faces.shape[0] <= target_faces:
+            best = (new_verts.astype(np.float32), new_faces.astype(np.int32))
+            break
+        best = (new_verts.astype(np.float32), new_faces.astype(np.int32))
+    return best
+
+
+def pad_mesh(verts: np.ndarray, faces: np.ndarray, vert_bucket: int,
+             face_bucket: int):
+    """Pad to static shape buckets so XLA compiles once per bucket.
+
+    Padding vertices collapse onto vertex 0; padding faces are degenerate
+    (0, 0, 0) triangles which rasterize and integrate to nothing.
+    """
+    v = np.zeros((vert_bucket, 3), np.float32)
+    v[: verts.shape[0]] = verts
+    v[verts.shape[0]:] = verts[0]
+    f = np.zeros((face_bucket, 3), np.int32)
+    f[: faces.shape[0]] = faces
+    return v, f
+
+
+def get_faces_and_textures(verts_list: Sequence[np.ndarray],
+                           faces_list: Sequence[np.ndarray],
+                           color_names: Sequence[str]):
+    """Pack per-part meshes into one scene mesh with flat per-face colors.
+
+    Args:
+      verts_list: list of (B, V_i, 3).
+      faces_list: list of (F_i, 3) (or (1, F_i, 3)).
+    Returns:
+      faces (1, sum(B*F_i), 3) indexing the concatenated per-batch vertex
+      buffer, colors (1, sum(B*F_i), 3). Matches homan/meshutils.py:7-57 with
+      the texture tensor collapsed to flat per-face RGB (our renderer's format).
+    """
+    all_faces, all_colors = [], []
+    offset = 0
+    for verts, faces, cname in zip(verts_list, faces_list, color_names):
+        faces = np.asarray(faces)
+        if faces.ndim == 3:
+            faces = faces[0]
+        B, V = verts.shape[0], verts.shape[1]
+        for b in range(B):
+            all_faces.append(faces + offset + b * V)
+        offset += B * V
+        color = np.asarray(COLORS[cname], np.float32)
+        all_colors.append(np.tile(color, (B * faces.shape[0], 1)))
+    return (np.concatenate(all_faces)[None].astype(np.int32),
+            np.concatenate(all_colors)[None])

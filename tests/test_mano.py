@@ -1,0 +1,147 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homan_tpu.core import mano
+from homan_tpu.core.geometry import rodrigues
+
+
+def numpy_mano_reference(params, betas, global_orient, hand_pose):
+    """Independent numpy implementation of SMPL-style LBS as ground truth."""
+    p = {k: np.asarray(v, np.float64) for k, v in params.items()}
+    betas = np.asarray(betas, np.float64)
+    full_pose = np.concatenate([global_orient, hand_pose]).reshape(16, 3)
+
+    v_shaped = p["v_template"] + np.einsum("vck,k->vc", p["shapedirs"], betas)
+    J = p["J_regressor"] @ v_shaped
+
+    def rodrigues_np(aa):
+        theta = np.linalg.norm(aa)
+        if theta < 1e-12:
+            return np.eye(3)
+        k = aa / theta
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * K @ K
+
+    rots = np.stack([rodrigues_np(full_pose[i]) for i in range(16)])
+    pose_feature = (rots[1:] - np.eye(3)).reshape(-1)
+    v_posed = v_shaped + np.einsum("vcf,f->vc", p["posedirs"], pose_feature)
+
+    parents = np.asarray(params["parents"])
+    world = [None] * 16
+    for j in range(16):
+        T = np.eye(4)
+        T[:3, :3] = rots[j]
+        T[:3, 3] = J[j] - (J[parents[j]] if parents[j] >= 0 else 0)
+        world[j] = T if parents[j] < 0 else world[parents[j]] @ T
+    world = np.stack(world)
+    posed_joints = world[:, :3, 3].copy()
+    rel = world.copy()
+    rel[:, :3, 3] -= np.einsum("jab,jb->ja", world[:, :3, :3], J)
+    T = np.einsum("vj,jab->vab", p["weights"], rel)
+    verts = np.einsum("vab,vb->va", T[:, :3, :3], v_posed) + T[:, :3, 3]
+    return verts, posed_joints
+
+
+def test_forward_matches_numpy_reference():
+    params = mano.synthetic_mano_params(0)
+    rng = np.random.RandomState(7)
+    betas = rng.randn(10).astype(np.float32) * 0.5
+    rot = rng.randn(3).astype(np.float32) * 0.5
+    pose = rng.randn(45).astype(np.float32) * 0.3
+    out = mano.mano_forward(params, jnp.asarray(betas), jnp.asarray(rot),
+                            jnp.asarray(pose))
+    ref_verts, ref_joints = numpy_mano_reference(params, betas, rot, pose)
+    np.testing.assert_allclose(np.asarray(out["verts"]), ref_verts, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["joints"]), ref_joints, atol=2e-5)
+
+
+def test_zero_pose_is_shaped_template():
+    params = mano.synthetic_mano_params(1)
+    out = mano.mano_forward(params, jnp.zeros(10), jnp.zeros(3), jnp.zeros(45))
+    np.testing.assert_allclose(np.asarray(out["verts"]),
+                               np.asarray(params["v_template"]), atol=1e-5)
+
+
+def test_global_orient_is_rigid():
+    """Global orient must rotate the hand rigidly about the wrist joint."""
+    params = mano.synthetic_mano_params(2)
+    aa = jnp.asarray([0.4, -0.3, 0.8])
+    out0 = mano.mano_forward(params, jnp.zeros(10), jnp.zeros(3), jnp.zeros(45))
+    out1 = mano.mano_forward(params, jnp.zeros(10), aa, jnp.zeros(45))
+    R = np.asarray(rodrigues(aa))
+    wrist = np.asarray(out0["joints"])[0]
+    expected = (np.asarray(out0["verts"]) - wrist) @ R.T + wrist
+    np.testing.assert_allclose(np.asarray(out1["verts"]), expected, atol=1e-5)
+
+
+def test_pca_roundtrip():
+    params = mano.synthetic_mano_params(3)
+    rng = np.random.RandomState(3)
+    pca = jnp.asarray(rng.randn(16).astype(np.float32))
+    aa = mano.pca_to_axis_angle(params, pca)
+    pca2 = mano.axis_angle_to_pca(params, aa, ncomps=16)
+    np.testing.assert_allclose(np.asarray(pca2), np.asarray(pca), atol=1e-4)
+
+
+def test_pca_left_sign_flip():
+    params = mano.synthetic_mano_params(4)
+    pca = jnp.ones(16)
+    aa_r = mano.pca_to_axis_angle(params, pca, is_left=False, flat_hand_mean=True)
+    aa_l = mano.pca_to_axis_angle(params, pca, is_left=True, flat_hand_mean=True)
+    np.testing.assert_allclose(np.asarray(aa_l[0::3]), np.asarray(aa_r[0::3]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aa_l[1::3]), -np.asarray(aa_r[1::3]),
+                               atol=1e-6)
+
+
+def test_mirror_is_exact_reflection():
+    """The mirrored model posed with mirrored pose must be the exact x-mirror
+    of the right model for any pose/shape: geometry check, no real data needed."""
+    params = mano.synthetic_mano_params(5)
+    left = mano.mirror_mano_params(params)
+    rng = np.random.RandomState(5)
+    betas = jnp.asarray(rng.randn(10).astype(np.float32) * 0.5)
+    rot = rng.randn(3).astype(np.float32)
+    pose = rng.randn(45).astype(np.float32) * 0.4
+    sign = np.tile([1.0, -1.0, -1.0], 15).astype(np.float32)
+    rot_m = rot * np.array([1.0, -1.0, -1.0], np.float32)
+    out_r = mano.mano_forward(params, betas, jnp.asarray(rot), jnp.asarray(pose))
+    out_l = mano.mano_forward(left, betas, jnp.asarray(rot_m),
+                              jnp.asarray(pose * sign))
+    mirror = np.array([-1.0, 1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(out_l["verts"]),
+                               np.asarray(out_r["verts"]) * mirror, atol=2e-5)
+
+
+def test_layer_batched_forward_and_tips():
+    layer = mano.ManoLayer.synthetic(0)
+    rng = np.random.RandomState(9)
+    B = 4
+    pca = jnp.asarray(rng.randn(B, 16).astype(np.float32))
+    rot = jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.3)
+    betas = jnp.zeros((B, 10))
+    out = layer.forward_pca(pca, rot, betas, side="right")
+    assert out["verts"].shape == (B, 778, 3)
+    assert out["joints"].shape == (B, 16, 3)
+    joints21 = mano.add_tips_and_reorder(out["verts"], out["joints"])
+    assert joints21.shape == (B, 21, 3)
+    # Joint 0 must stay the wrist
+    np.testing.assert_allclose(np.asarray(joints21[:, 0]),
+                               np.asarray(out["joints"][:, 0]), atol=1e-6)
+    # Tips land at the designated vertices
+    np.testing.assert_allclose(np.asarray(joints21[:, 4]),
+                               np.asarray(out["verts"][:, 745]), atol=1e-6)
+
+
+def test_forward_jits_and_grads():
+    layer = mano.ManoLayer.synthetic(0)
+
+    @jax.jit
+    def loss_fn(pca):
+        out = layer.forward_pca(pca, jnp.zeros((2, 3)), jnp.zeros((2, 10)))
+        return (out["verts"] ** 2).sum()
+
+    g = jax.grad(loss_fn)(jnp.ones((2, 16)) * 0.1)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
