@@ -1,0 +1,8 @@
+"""Differentiable TPU rasterization (silhouette / depth / flat-shaded RGB)."""
+
+from homan_tpu.render.rasterizer import (  # noqa: F401
+    rasterize_soft,
+    rasterize_hard,
+    project_ndc,
+    RasterSettings,
+)

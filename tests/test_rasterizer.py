@@ -1,0 +1,163 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homan_tpu.core.meshes import icosphere
+from homan_tpu.render import RasterSettings, rasterize_hard, rasterize_soft
+
+
+# icosphere(2) has 320 faces; capacity 320 keeps binning complete while
+# still exercising the tile-culling path (corner tiles select nothing).
+SETTINGS = RasterSettings(image_size=64, tile_px=16, faces_per_tile=320)
+
+
+def unit_K(b=1):
+    """Normalized intrinsics: f=1, principal point at image center."""
+    K = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])
+    return jnp.tile(K[None], (b, 1, 1))
+
+
+def sphere_scene(radius=0.25, z=1.0, b=1):
+    v, f = icosphere(2, radius)
+    verts = jnp.asarray(v)[None] + jnp.asarray([0.0, 0.0, z])
+    return jnp.tile(verts, (b, 1, 1)), jnp.asarray(f)
+
+
+def analytic_disk_mask(size, radius, z, cx=0.5, cy=0.5):
+    """A sphere at distance z projects to a disk of angular radius ~ r/z."""
+    r_im = radius / np.sqrt(z**2 - radius**2)  # true silhouette cone
+    ys = (np.arange(size) + 0.5) / size
+    xs = (np.arange(size) + 0.5) / size
+    u, v = np.meshgrid(xs, ys)
+    return ((u - cx) ** 2 + (v - cy) ** 2) <= r_im**2
+
+
+def test_soft_silhouette_matches_analytic_disk():
+    verts, faces = sphere_scene()
+    out = rasterize_soft(verts, faces, unit_K(), SETTINGS)
+    sil = np.asarray(out["sil"][0])
+    assert sil.min() >= 0 and sil.max() <= 1
+    ref = analytic_disk_mask(64, 0.25, 1.0)
+    pred = sil > 0.5
+    inter = (pred & ref).sum()
+    union = (pred | ref).sum()
+    assert inter / union > 0.93, f"IoU {inter/union}"
+
+
+def test_soft_silhouette_differentiable_translation():
+    """Moving the sphere right must increase coverage right of center."""
+    verts, faces = sphere_scene()
+    K = unit_K()
+
+    def coverage_right(dx):
+        v = verts + jnp.asarray([dx, 0.0, 0.0])
+        sil = rasterize_soft(v, faces, K, SETTINGS)["sil"]
+        return (sil[0, :, 40:] ** 2).sum()
+
+    g = jax.grad(coverage_right)(0.0)
+    assert np.isfinite(float(g))
+    assert float(g) > 0.1, f"grad {g}"
+
+
+def test_gradient_matches_finite_differences():
+    verts, faces = sphere_scene()
+    K = unit_K()
+    target = np.asarray(
+        analytic_disk_mask(64, 0.25, 1.0, cx=0.55, cy=0.5), np.float32)
+    target = jnp.asarray(target)
+
+    def loss(dx):
+        v = verts + jnp.stack([dx, jnp.zeros_like(dx), jnp.zeros_like(dx)])
+        sil = rasterize_soft(v, faces, K, SETTINGS)["sil"][0]
+        return ((sil - target) ** 2).sum()
+
+    g = float(jax.grad(loss)(jnp.asarray(0.01)))
+    eps = 1e-3
+    fd = (float(loss(jnp.asarray(0.01 + eps))) -
+          float(loss(jnp.asarray(0.01 - eps)))) / (2 * eps)
+    assert np.sign(g) == np.sign(fd)
+    assert abs(g - fd) / (abs(fd) + 1e-6) < 0.35, f"autodiff {g} vs fd {fd}"
+
+
+def test_silhouette_gradient_descends_to_target():
+    """End-to-end sanity: SGD on the silhouette L2 recovers a translation."""
+    verts, faces = sphere_scene()
+    K = unit_K()
+    true_offset = jnp.asarray([0.06, -0.04, 0.0])
+    target = rasterize_soft(verts + true_offset, faces, K, SETTINGS)["sil"]
+
+    def loss(off):
+        sil = rasterize_soft(verts + off, faces, K, SETTINGS)["sil"]
+        return ((sil - target) ** 2).sum()
+
+    import optax
+    opt = optax.adam(5e-3)
+    off = jnp.zeros(3)
+    state = opt.init(off)
+    value_grad = jax.jit(jax.value_and_grad(loss))
+    for _ in range(80):
+        _, g = value_grad(off)
+        updates, state = opt.update(g, state)
+        off = optax.apply_updates(off, updates)
+    err = np.abs(np.asarray(off - true_offset))
+    assert err.max() < 0.01, f"recovered {off}, want {true_offset}"
+
+
+def test_depth_values():
+    verts, faces = sphere_scene(radius=0.25, z=1.0)
+    out = rasterize_soft(verts, faces, unit_K(), SETTINGS, with_depth=True)
+    depth = np.asarray(out["depth"][0])
+    sil = np.asarray(out["sil"][0]) > 0.5
+    center_depth = depth[32, 32]
+    assert abs(center_depth - 0.75) < 0.03, center_depth  # front of sphere
+    assert depth[sil].max() <= 1.005  # never behind the sphere center plane + eps
+    assert (depth[~sil] == 0).all()
+
+
+def test_behind_camera_culled():
+    verts, faces = sphere_scene(z=-1.0)  # entirely behind the camera
+    out = rasterize_soft(verts, faces, unit_K(), SETTINGS)
+    assert float(out["sil"].max()) < 1e-3
+
+
+def test_degenerate_padding_faces_ignored():
+    verts, faces = sphere_scene()
+    pad = jnp.zeros((50, 3), jnp.int32)  # degenerate (0,0,0) faces
+    faces_padded = jnp.concatenate([faces, pad])
+    a = rasterize_soft(verts, faces, unit_K(), SETTINGS)["sil"]
+    b = rasterize_soft(verts, faces_padded, unit_K(), SETTINGS)["sil"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_batched_rendering_distinct_frames():
+    verts, faces = sphere_scene(b=3)
+    offsets = jnp.asarray([[0.0, 0, 0], [0.15, 0, 0], [-0.15, 0, 0]])
+    out = rasterize_soft(verts + offsets[:, None, :], faces, unit_K(3), SETTINGS)
+    sil = np.asarray(out["sil"])
+    com_x = [(s > 0.5).nonzero()[1].mean() for s in sil]
+    assert com_x[1] > com_x[0] > com_x[2]
+
+
+def test_hard_raster_rgb_and_depth():
+    verts, faces = sphere_scene()
+    colors = jnp.tile(jnp.asarray([[1.0, 0.2, 0.1]]), (faces.shape[0], 1))
+    out = rasterize_hard(verts, faces, unit_K(), colors, SETTINGS)
+    rgb = np.asarray(out["rgb"][0])
+    sil = np.asarray(out["sil"][0])
+    assert rgb.shape == (64, 64, 3)
+    # Background white, object reddish
+    assert rgb[0, 0, 0] == 1.0 and rgb[0, 0, 1] == 1.0
+    center = rgb[32, 32]
+    assert center[0] > center[1] + 0.2
+    ref = analytic_disk_mask(64, 0.25, 1.0)
+    iou = (sil & ref).sum() / ((sil | ref).sum())
+    assert iou > 0.93
+
+
+def test_roi_intrinsics_shift():
+    """A K with shifted principal point must shift the rendered object."""
+    verts, faces = sphere_scene()
+    K = jnp.asarray([[[1.0, 0, 0.25], [0, 1.0, 0.5], [0, 0, 1.0]]])
+    sil = np.asarray(rasterize_soft(verts, faces, K, SETTINGS)["sil"][0])
+    com_x = (sil > 0.5).nonzero()[1].mean() / 64
+    assert abs(com_x - 0.25) < 0.03
