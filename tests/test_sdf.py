@@ -1,0 +1,141 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homan_tpu.core.meshes import icosphere
+from homan_tpu.interactions import (
+    batch_pairwise_dist2,
+    compute_contact_loss,
+    grid_sample_3d,
+    masked_mean_loss,
+    sdf_scene_loss,
+    voxelize_interior_sdf,
+)
+
+
+def test_sphere_sdf_values():
+    """Interior SDF of a unit-ish sphere: phi ~ r_sphere - |x| inside, 0 outside."""
+    v, f = icosphere(3, 0.8)
+    phi = np.asarray(voxelize_interior_sdf(
+        jnp.asarray(v)[None], jnp.asarray(f), grid_size=32)[0])
+    g = 32
+    axis = -1.0 + (2.0 * np.arange(g) + 1.0) / g
+    gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+    r = np.sqrt(gx**2 + gy**2 + gz**2)
+    expected = np.maximum(0.8 - r, 0.0)
+    # Ignore the shell near the surface where discretization dominates
+    core = r < 0.6
+    outside = r > 0.95
+    assert np.abs(phi[core] - expected[core]).max() < 0.05
+    assert phi[outside].max() == 0.0
+    assert phi.min() >= 0.0
+
+
+def test_grid_sample_matches_manual_trilinear():
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(1, 8, 8, 8).astype(np.float32))
+    # At exact cell centers, sampling returns the cell value
+    g = 8
+    idx = np.array([[2, 3, 4], [5, 1, 6]])
+    coords = (2.0 * idx + 1.0) / g - 1.0
+    out = np.asarray(grid_sample_3d(vol, jnp.asarray(coords[None], jnp.float32)))
+    expected = np.asarray(vol[0])[idx[:, 0], idx[:, 1], idx[:, 2]]
+    np.testing.assert_allclose(out[0], expected, atol=1e-6)
+
+
+def test_grid_sample_zero_outside():
+    vol = jnp.ones((1, 8, 8, 8))
+    coords = jnp.asarray([[[1.5, 0.0, 0.0], [0.0, -1.6, 0.0]]])
+    out = np.asarray(grid_sample_3d(vol, coords))
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_grid_sample_gradient_wrt_coords():
+    g = 8
+    axis = -1.0 + (2.0 * np.arange(g) + 1.0) / g
+    gx = np.meshgrid(axis, axis, axis, indexing="ij")[0]
+    vol = jnp.asarray(gx[None].astype(np.float32))  # value = x coordinate
+
+    def f(c):
+        return grid_sample_3d(vol, c[None, None])[0, 0]
+
+    grad = np.asarray(jax.grad(f)(jnp.asarray([0.1, 0.2, -0.3])))
+    # d(value)/dx should be ~1 (the volume IS x), others ~0
+    assert abs(grad[0] - 1.0) < 1e-4
+    assert abs(grad[1]) < 1e-4 and abs(grad[2]) < 1e-4
+
+
+def test_sdf_scene_loss_detects_penetration():
+    v, f = icosphere(2, 0.5)
+    f = jnp.asarray(f)
+    a = jnp.asarray(v)[None]
+    b_far = a + jnp.asarray([2.0, 0.0, 0.0])
+    b_pen = a + jnp.asarray([0.3, 0.0, 0.0])
+    loss_far, _ = sdf_scene_loss([a, b_far], [f, f])
+    loss_pen, meta = sdf_scene_loss([a, b_pen], [f, f])
+    assert float(loss_far) < 1e-4
+    assert float(loss_pen) > 0.1
+    assert meta["dist_values"][(0, 1)].shape == (1, v.shape[0])
+
+
+def test_sdf_loss_gradient_pushes_apart():
+    v, f = icosphere(2, 0.5)
+    f = jnp.asarray(f)
+    a = jnp.asarray(v)[None]
+
+    def loss(dx):
+        b = a + jnp.stack([dx, jnp.zeros_like(dx), jnp.zeros_like(dx)])
+        val, _ = sdf_scene_loss([a, b], [f, f])
+        return val
+
+    # Shallow overlap: sum-of-SDF is only monotone once vertices are past the
+    # penetrated object's center (same shape as the reference loss).
+    g = float(jax.grad(loss)(jnp.asarray(0.55)))
+    assert g < -1e-3, f"gradient should push the spheres apart, got {g}"
+
+
+def test_pairwise_dist2():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 5, 3).astype(np.float32)
+    y = rng.randn(2, 7, 3).astype(np.float32)
+    d2 = np.asarray(batch_pairwise_dist2(jnp.asarray(x), jnp.asarray(y)))
+    ref = ((x[:, :, None] - y[:, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, ref, atol=1e-4)
+
+
+def test_masked_mean_loss_empty_mask():
+    d = jnp.ones((2, 4))
+    assert float(masked_mean_loss(d, jnp.zeros((2, 4), bool))) == 0.0
+    assert float(masked_mean_loss(d, jnp.ones((2, 4), bool))) == 1.0
+
+
+def test_contact_loss_reference_quirk_and_strict():
+    """Default mode reproduces the reference (attraction term = 0, repulsion
+    over all verts); strict mode separates exterior/interior."""
+    v, f = icosphere(2, 0.1)
+    f = jnp.asarray(f)
+    hand = jnp.asarray(v)[None] + jnp.asarray([0.25, 0.0, 0.0])
+    obj = jnp.asarray(v)[None]
+
+    missed, penetr, info, metrics = compute_contact_loss(hand, f, obj, f)
+    assert float(missed) == 0.0  # exterior always empty in reference mode
+    assert bool(info["repulsion_masks"].all())
+    assert float(penetr) > 0.0
+
+    missed_s, penetr_s, info_s, _ = compute_contact_loss(
+        hand, f, obj, f, strict_exterior=True)
+    # Separated spheres: all exterior -> attraction active, repulsion empty
+    assert bool(info_s["attraction_masks"].any())
+    assert float(penetr_s) == 0.0
+
+
+def test_contact_loss_strict_detects_penetration():
+    v, f = icosphere(2, 0.2)
+    f = jnp.asarray(f)
+    hand = jnp.asarray(v)[None] + jnp.asarray([0.1, 0.0, 0.0])  # overlapping
+    obj = jnp.asarray(v)[None]
+    _, penetr, info, metrics = compute_contact_loss(
+        hand, f, obj, f, strict_exterior=True)
+    assert bool(info["repulsion_masks"].any())
+    assert float(penetr) > 0.0
+    assert float(metrics["max_penetr"]) > 0.0
