@@ -99,6 +99,21 @@ def icosphere(subdivisions: int = 2, radius: float = 1.0):
     return (np.asarray(verts, np.float32) * radius, np.asarray(faces, np.int32))
 
 
+def bumpy_potato(subdivisions: int = 2, radius: float = 1.0, seed: int = 0):
+    """Asymmetric closed blob: icosphere with smooth radial modulation and an
+    anisotropic stretch. Unlike a sphere, its silhouette pins down rotation —
+    the synthetic object of choice for fit tests/benchmarks."""
+    v, f = icosphere(subdivisions, 1.0)
+    rng = np.random.RandomState(seed)
+    w = rng.randn(3, 3)
+    bump = 0.25 * np.sin(v @ w[0]) + 0.15 * np.cos(2.0 * v @ w[1]) \
+        + 0.1 * np.sin(3.0 * v @ w[2])
+    v = v * (1.0 + 0.3 * bump[:, None])
+    v = v * np.array([1.0, 0.75, 0.55])
+    v = v / np.linalg.norm(v, axis=1).max() * radius
+    return v.astype(np.float32), f
+
+
 def decimate(verts: np.ndarray, faces: np.ndarray, target_faces: int):
     """Cheap vertex-clustering decimation for coarse-fit meshes.
 

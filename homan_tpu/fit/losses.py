@@ -1,0 +1,353 @@
+"""Loss library for the joint fit. Pure functions, statically gated.
+
+Each term reproduces a reference loss:
+  * silhouette L2 on keep-masked ROI renders  (homan/losses.py:183-197)
+  * hand 2D vertex reprojection               (homan/losses.py:141-164)
+  * coarse interaction                        (homan/losses.py:98-139,199-242)
+  * temporal smoothness                       (homan/lossutils.py:18-36)
+  * PCA pose prior                            (homan/lossutils.py:39-40)
+  * intrinsic scale prior                     (homan/lossutils.py:107-109)
+  * SDF collision                             (homan/lossutils.py:43-64)
+  * contact                                   (homan/lossutils.py:112-130)
+  * ordinal depth                             (homan/lossutils.py:133-169)
+
+Weights are trace-time constants: a zero weight prunes the whole branch from
+the compiled program, reproducing the reference's `lw_ > 0` gating
+(homan/homan.py:433-506) at compile time instead of runtime.
+
+Known reference bug not reproduced: homan/homan.py:507 calls the ordinal
+depth loss with no arguments (TypeError whenever lw_depth > 0); here the
+depth loss is wired to the model renders as HOMan.compute_ordinal_depth_loss
+(homan/homan.py:384-419) intends.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from homan_tpu.core import camera as cam
+from homan_tpu.fit import model as M
+from homan_tpu.interactions import contact as contact_lib
+from homan_tpu.interactions import sdf as sdf_lib
+from homan_tpu.render import RasterSettings, rasterize_soft
+from homan_tpu.render.rasterizer import MeshTopology
+
+
+def _faces_of(topo_or_faces):
+    """Raw (F, 3) faces from either a MeshTopology or a plain array."""
+    if isinstance(topo_or_faces, MeshTopology):
+        return topo_or_faces.faces
+    return topo_or_faces
+
+# MANO closed-fist topology used for SDF terms (reference loads
+# local_data/closed_fmano.npy at homan/lossutils.py:15); supplied by the
+# caller through LossContext.
+DEFAULT_LW = {
+    "lw_smooth_obj": 2000.0,
+    "lw_smooth_hand": 2000.0,
+    "lw_v2d_hand": 50.0,
+    "lw_inter": 1.0,
+    "lw_contact": 0.0,
+    "lw_depth": 0.0,
+    "lw_pca": 0.004,
+    "lw_sil_obj": 1.0,
+    "lw_sil_hand": 0.0,
+    "lw_collision": 0.0,
+    "lw_scale_obj": 0.001,
+    "lw_scale_hand": 0.001,
+}
+
+
+def batch_mask_iou(pred: jnp.ndarray, ref: jnp.ndarray,
+                   thresh: float = 0.5) -> jnp.ndarray:
+    """Per-sample IoU of (soft) masks, binarized at `thresh`."""
+    p = pred > thresh
+    r = ref > thresh
+    inter = (p & r).sum(axis=(-2, -1)).astype(jnp.float32)
+    union = (p | r).sum(axis=(-2, -1)).astype(jnp.float32)
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
+
+
+def compute_smooth_loss(verts_hand, verts_obj, hand_nb: int):
+    """Mean squared frame difference (homan/lossutils.py:18-36). Hands of one
+    frame are concatenated along the vertex axis before differencing."""
+    time_hands = [verts_hand[i::hand_nb] for i in range(hand_nb)]
+    all_hand = jnp.concatenate(time_hands, axis=1)  # (T, H*778, 3)
+    smooth_hand = ((all_hand[1:] - all_hand[:-1]) ** 2).mean()
+    smooth_obj = ((verts_obj[1:] - verts_obj[:-1]) ** 2).mean()
+    return {"loss_smooth_obj": smooth_obj, "loss_smooth_hand": smooth_hand}
+
+
+def compute_pca_loss(mano_pca_pose):
+    return {"loss_pca": (mano_pca_pose ** 2).mean()}
+
+
+def compute_intrinsic_scale_prior(scales, mean):
+    return ((scales - mean) ** 2).sum() / scales.shape[0]
+
+
+def compute_v2d_loss_hand(verts_hand, camintr, ref_verts2d, image_size: int,
+                          hand_nb: int):
+    """2D reprojection of all 778 hand verts (homan/losses.py:141-164).
+
+    Note: the reference also computes a small-hand-discarding variant but
+    returns the plain loss (losses.py:160-161); reproduced as-is.
+    """
+    K = jnp.repeat(camintr, hand_nb, axis=0)  # (B*H, 3, 3)
+    pred = cam.batch_proj2d(verts_hand, K)
+    tar = ref_verts2d / image_size
+    loss = ((pred - tar) ** 2).sum(-1).mean()
+    dist_px = jnp.linalg.norm(pred * image_size - ref_verts2d, axis=-1).mean()
+    return {"loss_v2d_hand": loss}, {"v2d_hand": dist_px}
+
+
+def compute_sil_loss_object(verts_obj, faces_obj, camintr_rois, ref_mask,
+                            keep_mask, settings: RasterSettings):
+    """Occlusion-aware silhouette L2 in the ROI (homan/losses.py:183-197)."""
+    rend = rasterize_soft(verts_obj, faces_obj, camintr_rois, settings)["sil"]
+    image = keep_mask * rend
+    l_m = ((image - ref_mask) ** 2).sum() / keep_mask.sum()
+    loss = l_m / verts_obj.shape[0]
+    iou = batch_mask_iou(image, ref_mask).mean()
+    return {"loss_sil_obj": loss}, {"iou_object": iou}
+
+
+def compute_sil_loss_hand(verts_hand, faces_hand, camintr_rois, ref_mask,
+                          keep_mask, settings: RasterSettings):
+    """Per-hand silhouette L2 (homan/losses.py:166-181), batched."""
+    rend = rasterize_soft(verts_hand, faces_hand, camintr_rois, settings)["sil"]
+    image = keep_mask * rend
+    per = ((image - ref_mask) ** 2).sum(axis=(1, 2)) / keep_mask.sum(axis=(1, 2))
+    return {"loss_sil_hand": per.mean()}
+
+
+def _project_bbox(verts, camintr, expansion: float = 0.2):
+    """Projected 2D bbox with expansion (homan/losses.py:20-49), normalized
+    coords; y-flip omitted because our projection is CV-convention end to end."""
+    uv = cam.batch_proj2d(verts, camintr)
+    lo = uv.min(axis=1)
+    hi = uv.max(axis=1)
+    center = (lo + hi) / 2
+    extent = (hi - lo) / 2 * (1 + expansion)
+    return jnp.concatenate([center - extent, center + extent], axis=1)
+
+
+def _bbox_iou_pairwise(b1, b2):
+    a1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
+    a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+    lt = jnp.maximum(b1[:, :2], b2[:, :2])
+    rb = jnp.minimum(b1[:, 2:], b2[:, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    return inter / jnp.maximum(a1 + a2 - inter, 1e-9)
+
+
+def compute_interaction_loss(verts_hand_det, verts_obj, camintr, cfg,
+                             z_thresh: float = 3.0, expansion: float = 0.2):
+    """Coarse interaction (homan/losses.py:199-242): per frame and hand, if
+    the projected bboxes overlap and z-extents are within `z_thresh`, pull the
+    centroids together ('centroid') or the closest points ('min').
+
+    The reference gates with a host-side python loop; here the gate is a
+    per-frame indicator folded into a masked mean — same value, jit-safe.
+    """
+    hand_nb = cfg.hand_nb
+    B = verts_obj.shape[0]
+    losses = []
+    indicators = []
+    min_dists = []
+    for h in range(hand_nb):
+        vh = verts_hand_det[h::hand_nb]  # (B, 778, 3)
+        bo = _project_bbox(verts_obj, camintr, expansion)
+        bh = _project_bbox(vh, camintr, expansion)
+        iou = _bbox_iou_pairwise(bo, bh)
+        # z-overlap gap per frame
+        a = vh[..., 2].min(axis=1)
+        b = vh[..., 2].max(axis=1)
+        c = verts_obj[..., 2].min(axis=1)
+        d = verts_obj[..., 2].max(axis=1)
+        gap = jnp.where((d >= a) & (b >= c), 0.0,
+                        jnp.minimum(jnp.abs(c - b), jnp.abs(a - d)))
+        inter = (iou > 0) & (gap < z_thresh)
+        if cfg.inter_type == "centroid":
+            err = ((vh.mean(axis=1) - verts_obj.mean(axis=1)) ** 2).mean(axis=-1)
+        else:  # min
+            err = contact_lib.batch_pairwise_dist2(vh, verts_obj).min(
+                axis=(1, 2))
+        losses.append(err)
+        indicators.append(inter)
+        d2 = jax.lax.stop_gradient(
+            contact_lib.batch_pairwise_dist2(vh, verts_obj))
+        min_dists.append(jnp.sqrt(jnp.maximum(d2.min(axis=(1, 2)), 0.0)))
+    err = jnp.stack(losses)          # (H, B)
+    ind = jnp.stack(indicators)      # (H, B)
+    num = ind.sum()
+    loss = jnp.where(num > 0, (err * ind).sum() / jnp.maximum(num, 1), 0.0)
+    handobj_maxdist = jnp.stack(min_dists).min(axis=0).max()
+    return ({"loss_inter": loss},
+            {"handobj_maxdist": handobj_maxdist})
+
+
+def compute_collision_loss(verts_hand_detscale, verts_obj_det, faces_obj,
+                           closed_hand_faces, hand_nb: int, sdf_grid: int = 32):
+    """SDF scene penetration (homan/lossutils.py:43-64). Two hands use the
+    flipped closed-fist winding like the reference (:54)."""
+    if hand_nb > 1:
+        flipped = closed_hand_faces[:, ::-1]
+        hand_verts = [verts_hand_detscale[i::hand_nb] for i in range(hand_nb)]
+        loss, _ = sdf_lib.sdf_scene_loss(
+            hand_verts + [verts_obj_det],
+            [flipped] * hand_nb + [faces_obj], grid_size=sdf_grid)
+    else:
+        loss, _ = sdf_lib.sdf_scene_loss(
+            [verts_hand_detscale, verts_obj_det],
+            [closed_hand_faces, faces_obj], grid_size=sdf_grid)
+    return {"loss_collision": loss}
+
+
+def compute_contact_loss_term(verts_hand_detscale, verts_obj, faces_obj,
+                              closed_hand_faces, hand_nb: int,
+                              sdf_grid: int = 32):
+    """Contact wrapper (homan/lossutils.py:112-130)."""
+    if hand_nb > 1:
+        missed, contact = [], []
+        for h in range(hand_nb):
+            m, c, _, _ = contact_lib.compute_contact_loss(
+                verts_hand_detscale[h::hand_nb], closed_hand_faces,
+                verts_obj, faces_obj, sdf_grid=sdf_grid)
+            missed.append(m)
+            contact.append(c)
+        missed = jnp.stack(missed).mean()
+        contact = jnp.stack(contact).mean()
+    else:
+        missed, contact, _, _ = contact_lib.compute_contact_loss(
+            verts_hand_detscale, closed_hand_faces, verts_obj, faces_obj,
+            sdf_grid=sdf_grid)
+    return {"loss_contact": missed + contact}
+
+
+def compute_ordinal_depth_loss(masks, silhouettes, depths):
+    """Ordinal depth (homan/lossutils.py:133-169): penalize pixels where the
+    GT says object i is in front of j but the render disagrees.
+
+    Args:
+      masks: (B, N, S, S) bool per-entity full-image GT masks.
+      silhouettes: list of N (B, S, S) bool renders.
+      depths: list of N (B, S, S) rendered depths.
+    """
+    loss = 0.0
+    num_pairs = 0.0
+    n = len(silhouettes)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            has_pred = silhouettes[i] & silhouettes[j]
+            pairs = (has_pred.sum(axis=(1, 2)) > 0).sum().astype(jnp.float32)
+            front_i_gt = masks[:, i] & (~masks[:, j])
+            front_j_pred = depths[j] < depths[i]
+            mask = front_i_gt & front_j_pred & has_pred
+            m = mask.astype(jnp.float32)
+            msum = m.sum()
+            dists = jnp.clip(depths[i] - depths[j], 0.0, 2.0)
+            term = jnp.where(
+                msum > 0,
+                (jnp.log1p(jnp.exp(dists)) * m).sum() / jnp.maximum(msum, 1),
+                0.0)
+            loss = loss + term
+            num_pairs = num_pairs + pairs
+    return {"loss_depth": loss / jnp.maximum(num_pairs, 1.0)}
+
+
+def compute_all_losses(state: M.HomanState, consts: M.HomanConsts,
+                       cfg: M.HomanConfig, lw: Dict[str, float],
+                       closed_hand_faces: jnp.ndarray | None = None,
+                       roi_settings: RasterSettings | None = None,
+                       full_settings: RasterSettings | None = None,
+                       ) -> Tuple[Dict, Dict]:
+    """Statically-gated full loss dict (mirrors homan/homan.py:421-508)."""
+    if roi_settings is None:
+        roi_settings = RasterSettings(image_size=cfg.rend_size)
+    loss_dict: Dict[str, jnp.ndarray] = {}
+    metric_dict: Dict[str, jnp.ndarray] = {}
+
+    verts_object, _ = M.get_verts_object(state, consts)
+    verts_hand, verts_hand_det = M.get_verts_hand(state, consts, cfg)
+    verts_hand_detscale, _ = M.get_verts_hand(state, consts, cfg,
+                                              detach_scale=True)
+
+    if lw["lw_pca"] > 0:
+        loss_dict.update(compute_pca_loss(state.mano_pca_pose))
+    if lw["lw_smooth_hand"] > 0 or lw["lw_smooth_obj"] > 0:
+        loss_dict.update(compute_smooth_loss(verts_hand, verts_object,
+                                             cfg.hand_nb))
+    if lw["lw_collision"] > 0:
+        assert closed_hand_faces is not None, "collision needs closed MANO faces"
+        loss_dict.update(compute_collision_loss(
+            verts_hand_detscale, jax.lax.stop_gradient(verts_object),
+            _faces_of(consts.faces_object), closed_hand_faces, cfg.hand_nb))
+    if lw["lw_contact"] > 0:
+        assert closed_hand_faces is not None, "contact needs closed MANO faces"
+        loss_dict.update(compute_contact_loss_term(
+            verts_hand_detscale, verts_object, _faces_of(consts.faces_object),
+            closed_hand_faces, cfg.hand_nb))
+    if lw["lw_v2d_hand"] > 0:
+        l, m = compute_v2d_loss_hand(verts_hand, consts.camintr,
+                                     consts.ref_verts2d_hand, cfg.image_size,
+                                     cfg.hand_nb)
+        loss_dict.update(l)
+        metric_dict.update(m)
+    if lw["lw_sil_obj"] > 0:
+        l, m = compute_sil_loss_object(
+            verts_object, consts.faces_object, consts.camintr_rois_object,
+            consts.ref_mask_object, consts.keep_mask_object, roi_settings)
+        loss_dict.update(l)
+        metric_dict.update(m)
+    if lw["lw_sil_hand"] > 0:
+        loss_dict.update(compute_sil_loss_hand(
+            verts_hand, consts.faces_hand, consts.camintr_rois_hand,
+            consts.ref_mask_hand, consts.keep_mask_hand, roi_settings))
+    if lw["lw_inter"] > 0:
+        obj_for_inter = (verts_object if cfg.optimize_object_scale
+                         else jax.lax.stop_gradient(verts_object))
+        l, m = compute_interaction_loss(verts_hand_det, obj_for_inter,
+                                        consts.camintr, cfg)
+        loss_dict.update(l)
+        metric_dict.update(m)
+    if lw["lw_scale_obj"] > 0:
+        loss_dict["loss_scale_obj"] = compute_intrinsic_scale_prior(
+            state.int_scales_object, jnp.ones((1,), jnp.float32))
+    if lw["lw_scale_hand"] > 0:
+        loss_dict["loss_scale_hand"] = compute_intrinsic_scale_prior(
+            state.int_scales_hand, jnp.ones((1,), jnp.float32))
+    if lw["lw_depth"] > 0:
+        if full_settings is None:
+            full_settings = RasterSettings(image_size=cfg.image_size)
+        sils, depths = [], []
+        out_o = rasterize_soft(verts_object, consts.faces_object,
+                               consts.camintr, full_settings, with_depth=True)
+        sils.append(out_o["sil"] > 0.5)
+        depths.append(out_o["depth"])
+        for h in range(cfg.hand_nb):
+            out_h = rasterize_soft(verts_hand[h::cfg.hand_nb],
+                                   consts.faces_hand, consts.camintr,
+                                   full_settings, with_depth=True)
+            sils.append(out_h["sil"] > 0.5)
+            depths.append(out_h["depth"])
+        all_masks = jnp.stack(
+            [consts.masks_object]
+            + [consts.masks_hand[h::cfg.hand_nb] for h in range(cfg.hand_nb)],
+            axis=1).astype(bool)
+        loss_dict.update(compute_ordinal_depth_loss(all_masks, sils, depths))
+    return loss_dict, metric_dict
+
+
+def weighted_sum(loss_dict: Dict[str, jnp.ndarray],
+                 lw: Dict[str, float]) -> jnp.ndarray:
+    """Sum losses by their matching lw_ weight (homan/jointopt.py:180-188)."""
+    total = 0.0
+    for k, v in loss_dict.items():
+        total = total + v * lw[k.replace("loss", "lw")]
+    return total

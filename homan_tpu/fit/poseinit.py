@@ -1,0 +1,293 @@
+"""Stage B — object 6DoF pose initialization from instance masks.
+
+TPU-native equivalent of homan/pose_optimization.py:37-488 (PHOSA-style):
+hundreds of random-rotation candidates are refined in parallel against an
+occlusion-aware silhouette loss; frames are processed sequentially so each
+frame's candidates start from the previous frame's refined rotations; the
+winning motion is the candidate with the best mean IoU over the clip.
+
+Reference structure mapped to XLA:
+  * the candidate batch -> one vmapped render + a single Adam over the
+    stacked parameters (identical to the reference's batched optimizer);
+  * the 50-iteration refinement -> `lax.scan`, one compiled program reused
+    across frames (same shapes);
+  * translation auto-depth init (homan/lib3d/optitrans.py:83-127) -> jnp
+    `fori_loop`;
+  * the occlusion-aware loss (pose_optimization.py:139-151): keep-masked
+    silhouette L2 + optional max-pool-edge x EDT chamfer + 1e5 x offscreen
+    penalty. NB: the reference's driver leaves lw_chamfer at its default 0
+    (pose_optimization.py:56,323-332), reproduced here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from homan_tpu.core import camera as cam
+from homan_tpu.core import geometry as geo
+from homan_tpu.render import RasterSettings, rasterize_soft
+from homan_tpu.render.rasterizer import MeshTopology, as_topology
+from homan_tpu.fit.losses import batch_mask_iou
+
+RENDER_FAR = 100.0  # NMR renderer default far plane
+
+
+def compute_optimal_translation(bbox_target_xywh, vertices, f: float,
+                                img_size: int = 256, iters: int = 50):
+    """Iterative depth/center fit of projected bbox to a target bbox
+    (homan/lib3d/optitrans.py:49-80). vertices: (B, V, 3) already rotated."""
+    bbox = jnp.asarray(bbox_target_xywh, jnp.float32)
+    mask_center = bbox[:2] + bbox[2:] / 2
+    diag_mask = jnp.sqrt(bbox[2] ** 2 + bbox[3] ** 2)
+    B = vertices.shape[0]
+
+    def body(_, xyz):
+        x, y, z = xyz
+        translation = jnp.stack([x, y, z], axis=-1)[:, None, :]
+        v = vertices + translation
+        xy = v[..., :2]
+        zz = v[..., 2:]
+        proj = (f * xy / zz + 0.5) * img_size
+        u, vv = proj[..., 0], proj[..., 1]
+        x1, x2 = u.min(1), u.max(1)
+        y1, y2 = vv.min(1), vv.max(1)
+        w, h = x2 - x1, y2 - y1
+        diag_proj = jnp.sqrt(w ** 2 + h ** 2)
+        z = z + z * (diag_proj / diag_mask - 1.0)
+        cx, cy = x1 + w / 2, y1 + h / 2
+        x = x + (mask_center[0] - cx) * z / f / img_size
+        y = y + (mask_center[1] - cy) * z / f / img_size
+        return (x, y, z)
+
+    x0 = jnp.zeros(B)
+    y0 = jnp.zeros(B)
+    z0 = 2.5 * jnp.ones(B)
+    x, y, z = jax.lax.fori_loop(0, iters, body, (x0, y0, z0))
+    return jnp.stack([x, y, z], axis=-1)[:, None, :]
+
+
+def tco_init_from_boxes_autodepth(bbox_xywh, model_points_3d, K_px,
+                                  iters: int = 10):
+    """BOP20-style auto-depth translation init
+    (homan/lib3d/optitrans.py:83-127).
+
+    Args:
+      bbox_xywh: (4,) target box, pixels.
+      model_points_3d: (B, V, 3) rotated model points.
+      K_px: (3, 3) pixel intrinsics.
+    Returns:
+      (B, 3) translations.
+    """
+    bbox = jnp.asarray(bbox_xywh, jnp.float32)
+    boxes = jnp.stack([bbox[0], bbox[1], bbox[0] + bbox[2], bbox[1] + bbox[3]])
+    diag_bb = jnp.linalg.norm(boxes[2:] - boxes[:2])
+    bb_center = (boxes[:2] + boxes[2:]) / 2
+    K = jnp.asarray(K_px, jnp.float32)
+    fxfy = jnp.stack([K[0, 0], K[1, 1]])
+    cxcy = jnp.stack([K[0, 2], K[1, 2]])
+    B = model_points_3d.shape[0]
+
+    z0 = jnp.ones((B, 1))
+    xy0 = (bb_center[None] - cxcy[None]) * z0 / fxfy[None]
+
+    def body(_, carry):
+        xy, z = carry
+        trans = jnp.concatenate([xy, z], axis=1)
+        pts = model_points_3d + trans[:, None, :]
+        proj = cam.batch_proj2d(pts, jnp.broadcast_to(K, (B, 3, 3)))
+        lo = proj.min(axis=1)
+        hi = proj.max(axis=1)
+        diag_proj = jnp.linalg.norm(lo - hi, axis=-1)
+        centers = (lo + hi) / 2
+        z = z + z * (diag_proj / diag_bb - 1.0)[:, None]
+        xy = xy + ((bb_center[None] - centers) * z) / fxfy[None]
+        return (xy, z)
+
+    xy, z = jax.lax.fori_loop(0, iters, body, (xy0, z0))
+    return jnp.concatenate([xy, z], axis=1)
+
+
+def _maxpool_edges(sil: jnp.ndarray, kernel: int = 7) -> jnp.ndarray:
+    """maxpool(k, stride 1, same) - sil (homan/pose_optimization.py:136-137)."""
+    pad = kernel // 2
+    pooled = jax.lax.reduce_window(
+        sil, -jnp.inf, jax.lax.max, (1, kernel, kernel), (1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad)])
+    return pooled - sil
+
+
+def reference_edge_edt(mask: np.ndarray, kernel: int = 7,
+                       power: float = 0.25) -> np.ndarray:
+    """Distance transform of the target mask's edge, host-side
+    (homan/pose_optimization.py:84-88)."""
+    from scipy.ndimage import distance_transform_edt
+    m = (np.asarray(mask) > 0).astype(np.float32)
+    pooled = np.asarray(_maxpool_edges(jnp.asarray(m)[None], kernel)[0])
+    edge = pooled > 0
+    return distance_transform_edt(~edge) ** (power * 2)
+
+
+@dataclasses.dataclass
+class PoseFitResult:
+    rotations: jnp.ndarray     # (C, 3, 3) refined
+    translations: jnp.ndarray  # (C, 1, 3)
+    ious: jnp.ndarray          # (C,)
+    losses: jnp.ndarray        # (C,) final total loss
+    history: Dict[str, jnp.ndarray]
+
+
+@partial(jax.jit, static_argnames=("settings", "num_iterations", "lr",
+                                   "lw_chamfer"))
+def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
+                    rot6d_init, trans_init, settings: RasterSettings,
+                    num_iterations: int = 50, lr: float = 1e-2,
+                    lw_chamfer: float = 0.0):
+    """Refine C pose candidates against one frame's mask evidence."""
+    C = rot6d_init.shape[0]
+    Kb = jnp.broadcast_to(K_roi, (C, 3, 3))
+    ref = jnp.broadcast_to(target_mask[None], (C,) + target_mask.shape)
+    keep = jnp.broadcast_to(keep_mask[None], (C,) + keep_mask.shape)
+    edtb = jnp.broadcast_to(edt[None], (C,) + edt.shape)
+
+    def loss_fn(params):
+        R = geo.rot6d_to_matrix(params["rot6d"])
+        verts = jnp.einsum("vj,cjk->cvk", vertices, R) + params["trans"]
+        sil = rasterize_soft(verts, topo, Kb, settings)["sil"]
+        image = keep * sil
+        l_mask = ((image - ref) ** 2).sum(axis=(1, 2))
+        l_chamfer = lw_chamfer * (
+            _maxpool_edges(image) * edtb).sum(axis=(1, 2))
+        # Offscreen penalty (pose_optimization.py:112-134) in our [0,1]
+        # normalized projection space.
+        proj = cam.batch_proj2d(verts, Kb)
+        zc = verts[..., 2]
+        off = (jnp.maximum(proj - 1.0, 0.0).sum(axis=(1, 2))
+               + jnp.maximum(-proj, 0.0).sum(axis=(1, 2))
+               + jnp.maximum(-zc, 0.0).sum(axis=1)
+               + jnp.maximum(zc - RENDER_FAR, 0.0).sum(axis=1))
+        total = l_mask + l_chamfer + 1e5 * off
+        iou = batch_mask_iou(image, ref)
+        return total.sum(), (total, iou)
+
+    params = {"rot6d": rot6d_init, "trans": trans_init}
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def step(carry, _):
+        p, o = carry
+        (_, (total, iou)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+        updates, o = opt.update(grads, o)
+        p = optax.apply_updates(p, updates)
+        return (p, o), {"loss_min": total.min(), "iou_max": iou.max()}
+
+    (params, _), history = jax.lax.scan(step, (params, opt_state), None,
+                                        length=num_iterations)
+    _, (total, iou) = loss_fn(params)
+    return params, total, iou, history
+
+
+def find_optimal_poses(
+    vertices,
+    faces,
+    annotations: Sequence[Dict],
+    Ks: Sequence[np.ndarray],
+    image_size,
+    num_initializations: int = 500,
+    num_iterations: int = 50,
+    rend_size: int = 256,
+    settings: RasterSettings | None = None,
+    seed: int = 0,
+    lw_chamfer: float = 0.0,
+) -> List[Dict]:
+    """Per-frame candidate refinement + best-motion selection
+    (homan/pose_optimization.py:386-488).
+
+    Args:
+      vertices: (V, 3) canonical object vertices.
+      faces: (F, 3) or MeshTopology.
+      annotations: per frame dicts with target_crop_mask (R, R) in {-1, 0, 1},
+        bbox (4,) xywh pixels, and optionally full_mask.
+      Ks: per frame (3, 3) pixel intrinsics of the full image.
+      image_size: (H, W, ...) of the full image.
+    Returns:
+      list of per-frame dicts: rotations (1, 3, 3), translations (1, 1, 3),
+      K_roi (1, 3, 3), target_masks, masks, verts, verts_trans — the contract
+      consumed by the joint fit (pose_optimization.py:456-487).
+    """
+    topo = as_topology(faces)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    if settings is None:
+        settings = RasterSettings(image_size=rend_size)
+
+    key = jax.random.PRNGKey(seed)
+    previous_rotations = None
+    all_params = []
+    all_ious = []
+    for annot, K in zip(annotations, Ks):
+        mask = np.asarray(annot["target_crop_mask"])
+        ref_mask = jnp.asarray((mask > 0).astype(np.float32))
+        keep_mask = jnp.asarray((mask >= 0).astype(np.float32))
+        edt = jnp.asarray(reference_edge_edt(mask), jnp.float32)
+
+        x, y, b = annot["square_bbox"][:3]
+        K_roi_px = cam.get_K_crop_resize(
+            jnp.asarray(K, jnp.float32)[None],
+            jnp.asarray([[x, y, x + b, y + b]], jnp.float32),
+            rend_size)[0]
+        K_roi = cam.normalize_K(K_roi_px, rend_size)
+
+        if previous_rotations is None:
+            rotations = geo.random_rotations(key, num_initializations)
+        else:
+            rotations = previous_rotations
+        rotated = jnp.einsum("vj,cjk->cvk", vertices, rotations)
+        trans = tco_init_from_boxes_autodepth(
+            np.asarray(annot["bbox"], np.float32), rotated,
+            jnp.asarray(K, jnp.float32))[:, None, :]
+
+        params, losses, ious, history = _fit_candidates(
+            vertices, topo, ref_mask, keep_mask, edt, K_roi,
+            geo.matrix_to_rot6d(rotations), trans, settings,
+            num_iterations=num_iterations, lw_chamfer=lw_chamfer)
+
+        rot_final = geo.rot6d_to_matrix(params["rot6d"])
+        previous_rotations = jax.lax.stop_gradient(rot_final)
+        all_params.append({
+            "rotations": rot_final,
+            "translations": params["trans"],
+            "target_masks": jnp.asarray(mask, jnp.float32),
+            "K_roi": K_roi[None],
+            "masks": annot.get("full_mask"),
+            "verts": vertices,
+            "losses": losses,
+            "history": history,
+        })
+        all_ious.append(ious)
+
+    all_ious = jnp.stack(all_ious)  # (T, C)
+    best_idx = int(jnp.argmax(all_ious.mean(axis=0)))
+
+    final = []
+    for frame_params in all_params:
+        R = frame_params["rotations"][best_idx][None]
+        t = frame_params["translations"][best_idx][None]
+        verts_trans = jnp.einsum("vj,bjk->bvk", vertices, R) + t
+        final.append({
+            "rotations": R,
+            "translations": t,
+            "verts_trans": verts_trans,
+            "target_masks": frame_params["target_masks"][None],
+            "K_roi": frame_params["K_roi"],
+            "masks": frame_params["masks"],
+            "verts": vertices[None],
+            "full_mask": frame_params["masks"],
+            "best_iou": float(all_ious.mean(0)[best_idx]),
+        })
+    return final

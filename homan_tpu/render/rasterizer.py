@@ -4,30 +4,41 @@ Replaces the external CUDA `neural_renderer` used by the reference for all
 gradient-bearing rendering (homan/losses.py:73,183-197;
 homan/pose_optimization.py:94-151; homan/homan.py:168-176). The contract kept:
 
-  * silhouette(verts, faces, K) -> (B, S, S) coverage in [0, 1], differentiable
-    w.r.t. vertices (NMR `mode="silhouettes"`);
+  * silhouette(verts, topology, K) -> (B, S, S) coverage in [0, 1],
+    differentiable w.r.t. vertices (NMR `mode="silhouettes"`);
   * depth + silhouette for the ordinal-depth loss (NMR `.render()`);
   * intrinsics are normalized (`orig_size=1`): a unit focal length maps the
     image to [0, 1]^2; pixel (i, j) has center ((j+.5)/S, (i+.5)/S).
 
-The *algorithm* is not a port: instead of CUDA scanline rasterization with
-hand-written edge gradients, coverage is a closed-form soft function of
-signed pixel-to-triangle distance (SoftRas-style), so XLA autodiff provides
-exact gradients of the forward — no custom backward kernel to maintain.
+The *algorithm* is not a port of the CUDA scanline rasterizer. Soft coverage
+is built from CONTOUR EDGES:
+
+    sil(p) = sigmoid( sign(p) * d^2(p, silhouette edges) / sigma )
+
+where sign(p) is +1 iff any face covers p (exact, hard) and the distance runs
+over mesh edges whose two adjacent faces have opposite projected orientation
+(the occluding contour), recomputed each call from the current projection.
+Compared to per-face soft coverage (SoftRas-style probabilistic union), this
+profile is symmetric about the true boundary at ANY sigma — a per-face union
+accumulates an outward halo whose area bias corrupts depth/scale fits, and a
+per-face max caps interior coverage at the face size, biasing fits small
+(both measured in tests/test_rasterizer.py::test_depth_recovery_unbiased).
+Gradients flow through the projected endpoints of contour edges, the same
+gradient path CUDA rasterizers hand-implement; here XLA autodiff derives it
+from the closed form.
 
 TPU mapping:
-  * Stage 1 (binning): project vertices, test face bboxes against image tiles,
-    `lax.top_k` selects up to `faces_per_tile` candidate faces per tile.
-    All shapes static; ties resolve deterministically.
-  * Stage 2 (shading): a dense (pixels_per_tile x faces_per_tile) block per
-    tile — large regular elementwise work that vectorizes onto the VPU, with
-    the barycentric/edge terms expressed as fused multiply-adds.
+  * Stage 1 (binning): project vertices, test face/edge bboxes against image
+    tiles, `lax.top_k` selects up to faces_per_tile / edges_per_tile
+    candidates per tile. All shapes static; ties resolve deterministically.
+  * Stage 2 (shading): dense (pixels_per_tile x candidates) blocks per tile —
+    large regular elementwise work that vectorizes onto the VPU.
   * vmap over batch (frames or pose candidates), vmap over tiles.
 
 Assumption (documented): rendering happens in object-centered ROI crops
-(REND_SIZE convention of the reference), so faces are never concentrated in
-a single tile beyond `faces_per_tile`; the evidence pipeline guarantees this
-by construction. Exceeding it degrades coverage gracefully (dropped faces).
+(REND_SIZE convention of the reference), so candidates per tile stay within
+capacity; the evidence pipeline guarantees this by construction. Exceeding it
+degrades coverage gracefully (dropped faces/edges).
 """
 from __future__ import annotations
 
@@ -36,22 +47,76 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
 class RasterSettings:
     image_size: int = 256
-    # Softness of the silhouette edge, in (normalized distance)^2 units.
-    # sigma = 1e-5 puts the 50% level on the edge and ~1px falloff at S=256.
+    # Softness of the silhouette band, in (normalized distance)^2 units.
+    # The transition spans |d| <~ 2*sqrt(sigma): sigma = 1e-5 is a ~1.6px band
+    # at S=256. Unbiased at any sigma (see module docstring), so large values
+    # buy long-range gradients without corrupting converged fits.
     sigma: float = 1e-5
     tile_px: int = 32
     faces_per_tile: int = 256
+    edges_per_tile: int = 128
     znear: float = 1e-4
-    # Extra margin (pixels) around face bboxes when binning, covering the
-    # soft falloff band.
-    bin_margin_px: float = 3.0
+    # Margin (pixels) around edge bboxes when binning; also the saturation
+    # cap of the distance term. Must exceed the sigmoid band (2*sqrt(sigma)*S
+    # pixels) for gradients to reach.
+    bin_margin_px: float = 8.0
     # Temperature for soft-z aggregation of depth (normalized z units).
     depth_beta: float = 1e-2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MeshTopology:
+    """Static mesh connectivity: faces + unique edges with adjacent faces.
+
+    Build ONCE per mesh on host with `from_faces` (needs concrete values, not
+    traced arrays); flows through jit as a pytree afterwards.
+    """
+    faces: jnp.ndarray       # (F, 3) int32
+    edges: jnp.ndarray       # (E, 2) int32 vertex ids
+    edge_faces: jnp.ndarray  # (E, 2) int32 adjacent face ids, -1 = boundary
+
+    @classmethod
+    def from_faces(cls, faces) -> "MeshTopology":
+        f = np.asarray(faces, np.int64)
+        # Degenerate (padding) faces have repeated vertices; keep them in
+        # `faces` (they rasterize to nothing) but omit their edges.
+        good = ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+                & (f[:, 0] != f[:, 2]))
+        edge_map = {}
+        for fi in np.nonzero(good)[0]:
+            a, b, c = f[fi]
+            for u, v in ((a, b), (b, c), (c, a)):
+                key = (min(u, v), max(u, v))
+                slot = edge_map.setdefault(key, [])
+                if len(slot) < 2:
+                    slot.append(int(fi))
+        if edge_map:
+            edges = np.array(sorted(edge_map.keys()), np.int64)
+            adj = np.full((len(edges), 2), -1, np.int64)
+            for i, key in enumerate(map(tuple, edges)):
+                fs = edge_map[key]
+                adj[i, : len(fs)] = fs
+        else:
+            edges = np.zeros((1, 2), np.int64)
+            adj = np.full((1, 2), -1, np.int64)
+        return cls(
+            faces=jnp.asarray(f, jnp.int32),
+            edges=jnp.asarray(edges, jnp.int32),
+            edge_faces=jnp.asarray(adj, jnp.int32),
+        )
+
+
+def as_topology(faces_or_topo) -> MeshTopology:
+    if isinstance(faces_or_topo, MeshTopology):
+        return faces_or_topo
+    return MeshTopology.from_faces(faces_or_topo)
 
 
 def project_ndc(verts: jnp.ndarray, K: jnp.ndarray, eps: float = 1e-9):
@@ -69,10 +134,7 @@ def project_ndc(verts: jnp.ndarray, K: jnp.ndarray, eps: float = 1e-9):
 
 
 def _point_segment_dist2(p, a, b, eps=1e-12):
-    """Squared distance from pixels p to segments (a, b).
-
-    p: (..., P, 1, 2); a, b: (..., 1, F, 2) -> (..., P, F)
-    """
+    """Squared distance from pixels p (..., P, 1, 2) to segments (..., 1, N, 2)."""
     ab = b - a
     ap = p - a
     denom = jnp.maximum((ab * ab).sum(-1), eps)
@@ -83,7 +145,7 @@ def _point_segment_dist2(p, a, b, eps=1e-12):
 
 
 def _edge_fn(p, a, b):
-    """Signed parallelogram area of (b - a) x (p - a): (..., P, F)."""
+    """Signed parallelogram area of (b - a) x (p - a)."""
     return ((b[..., 0] - a[..., 0]) * (p[..., 1] - a[..., 1])
             - (b[..., 1] - a[..., 1]) * (p[..., 0] - a[..., 0]))
 
@@ -93,7 +155,6 @@ def _tile_pixel_centers(image_size: int, tile_px: int) -> jnp.ndarray:
     g = image_size // tile_px
     ys = (jnp.arange(image_size) + 0.5) / image_size
     xs = (jnp.arange(image_size) + 0.5) / image_size
-    # Tiles scan row-major over the image; pixels row-major within a tile.
     ty, tx = jnp.meshgrid(jnp.arange(g), jnp.arange(g), indexing="ij")
     py, px = jnp.meshgrid(jnp.arange(tile_px), jnp.arange(tile_px), indexing="ij")
     rows = ty.reshape(-1, 1) * tile_px + py.reshape(1, -1)  # (T, P)
@@ -101,21 +162,17 @@ def _tile_pixel_centers(image_size: int, tile_px: int) -> jnp.ndarray:
     return jnp.stack([xs[cols], ys[rows]], axis=-1)  # (T, P, 2) as (u, v)
 
 
-def _bin_faces(tri_uv: jnp.ndarray, valid: jnp.ndarray, s: RasterSettings):
-    """Select up to faces_per_tile candidate faces per tile.
+def _bin_boxes(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray,
+               s: RasterSettings, capacity: int, margin: float):
+    """Select up to `capacity` candidates per tile by bbox-tile overlap.
 
-    Args:
-      tri_uv: (F, 3, 2) projected triangle corners (single batch element).
-      valid: (F,) face validity.
-    Returns:
-      idx (T, Kf) face indices, hit (T, Kf) validity of each slot.
+    lo, hi: (N, 2) candidate bboxes (normalized coords); valid: (N,).
+    Returns idx (T, C) candidate indices, hit (T, C) slot validity.
     """
     S, tp = s.image_size, s.tile_px
     g = S // tp
-    margin = s.bin_margin_px / S
-    lo = tri_uv.min(axis=1) - margin  # (F, 2)
-    hi = tri_uv.max(axis=1) + margin
-    # Tile extents in normalized coords (T, 2)
+    lo = lo - margin
+    hi = hi + margin
     t_idx = jnp.arange(g * g)
     t_xy = jnp.stack([t_idx % g, t_idx // g], axis=-1).astype(jnp.float32)
     t_lo = t_xy * tp / S
@@ -124,64 +181,52 @@ def _bin_faces(tri_uv: jnp.ndarray, valid: jnp.ndarray, s: RasterSettings):
         (lo[None, :, 0] <= t_hi[:, None, 0]) & (hi[None, :, 0] >= t_lo[:, None, 0])
         & (lo[None, :, 1] <= t_hi[:, None, 1]) & (hi[None, :, 1] >= t_lo[:, None, 1])
         & valid[None, :]
-    )  # (T, F)
-    kf = min(s.faces_per_tile, tri_uv.shape[0])
-    score, idx = jax.lax.top_k(overlap.astype(jnp.float32), kf)
+    )  # (T, N)
+    c = min(capacity, lo.shape[0])
+    score, idx = jax.lax.top_k(overlap.astype(jnp.float32), c)
     return idx, score > 0.5
 
 
-def _shade_tile(pix, tri_uv, tri_z, hit, s: RasterSettings, with_depth: bool):
-    """Dense coverage of one tile: (P, 2) pixels x (Kf, 3, 2) faces.
-
-    Returns sil (P,), and depth (P,) when with_depth (else None).
-    """
-    p = pix[:, None, :]  # (P, 1, 2)
+def _face_inside(pix, tri_uv, hit):
+    """(P,) bool: any valid candidate face covers the pixel."""
+    p = pix[:, None, :]
     a = tri_uv[None, :, 0, :]
     b = tri_uv[None, :, 1, :]
     c = tri_uv[None, :, 2, :]
-    # Edge functions / barycentric numerators (P, Kf)
     e0 = _edge_fn(p, b, c)
     e1 = _edge_fn(p, c, a)
     e2 = _edge_fn(p, a, b)
-    area = _edge_fn(a, b, c)  # signed area of the triangle itself, (1, Kf)
-    inside = (
-        ((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
-        | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
-    )
-    d2 = jnp.minimum(
-        _point_segment_dist2(p, a, b),
-        jnp.minimum(_point_segment_dist2(p, b, c),
-                    _point_segment_dist2(p, c, a)),
-    )  # (P, Kf)
-    signed = jnp.where(inside, d2, -d2)
-    prob = jax.nn.sigmoid(signed / s.sigma)
-    prob = jnp.where(hit[None, :], prob, 0.0)
-    # Union of per-face coverage, stable in log space.
-    sil = 1.0 - jnp.exp(jnp.sum(jnp.log1p(-jnp.minimum(prob, 1.0 - 1e-7)),
-                                axis=-1))
-    if not with_depth:
-        return sil, None
-    # Perspective-correct depth: interpolate 1/z with 2D barycentrics.
+    inside = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
+              | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)))
+    return (inside & hit[None, :]).any(-1)
+
+
+def _face_depth(pix, tri_uv, tri_z, hit, s: RasterSettings):
+    """(P,) soft-min depth over covering faces; 0 where uncovered."""
+    p = pix[:, None, :]
+    a = tri_uv[None, :, 0, :]
+    b = tri_uv[None, :, 1, :]
+    c = tri_uv[None, :, 2, :]
+    e0 = _edge_fn(p, b, c)
+    e1 = _edge_fn(p, c, a)
+    e2 = _edge_fn(p, a, b)
+    inside = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
+              | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)))
+    area = _edge_fn(a, b, c)
     denom = jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
-    b0 = e0 / denom
-    b1 = e1 / denom
-    b2 = e2 / denom
-    inv_z = (b0 / jnp.maximum(tri_z[None, :, 0], 1e-6)
-             + b1 / jnp.maximum(tri_z[None, :, 1], 1e-6)
-             + b2 / jnp.maximum(tri_z[None, :, 2], 1e-6))
-    z_pix = 1.0 / jnp.maximum(inv_z, 1e-6)  # (P, Kf)
+    inv_z = (e0 / denom / jnp.maximum(tri_z[None, :, 0], 1e-6)
+             + e1 / denom / jnp.maximum(tri_z[None, :, 1], 1e-6)
+             + e2 / denom / jnp.maximum(tri_z[None, :, 2], 1e-6))
+    z_pix = 1.0 / jnp.maximum(inv_z, 1e-6)
     covered = inside & hit[None, :]
     z_masked = jnp.where(covered, z_pix, 1e6)
-    # Soft-min over faces keeps gradients flowing to the front surface.
     w = jax.nn.softmax(-z_masked / s.depth_beta, axis=-1)
     depth = jnp.sum(w * z_masked, axis=-1)
-    depth = jnp.where(covered.any(-1), depth, 0.0)
-    return sil, depth
+    return jnp.where(covered.any(-1), depth, 0.0)
 
 
-@partial(jax.jit, static_argnames=("settings", "with_depth"))
 def rasterize_soft(verts: jnp.ndarray,
-                   faces: jnp.ndarray,
+                   topology,
                    K: jnp.ndarray,
                    settings: RasterSettings = RasterSettings(),
                    with_depth: bool = False):
@@ -189,33 +234,68 @@ def rasterize_soft(verts: jnp.ndarray,
 
     Args:
       verts: (B, V, 3) camera-space vertices.
-      faces: (F, 3) int32 shared topology.
+      topology: MeshTopology (or a concrete (F, 3) array — only allowed
+        outside jit; build the MeshTopology up front in traced code).
       K: (B, 3, 3) normalized intrinsics.
     Returns:
-      dict: sil (B, S, S) float in [0,1]; depth (B, S, S) if with_depth
-      (0 where empty).
+      dict: sil (B, S, S) in [0,1]; depth (B, S, S) if with_depth.
     """
+    return _rasterize_soft(verts, as_topology(topology), K, settings,
+                           with_depth)
+
+
+@partial(jax.jit, static_argnames=("settings", "with_depth"))
+def _rasterize_soft(verts, topo: MeshTopology, K,
+                    settings: RasterSettings, with_depth: bool):
     s = settings
     S, tp = s.image_size, s.tile_px
     assert S % tp == 0, "image_size must be a multiple of tile_px"
     g = S // tp
     pix = _tile_pixel_centers(S, tp)  # (T, P, 2)
+    margin = s.bin_margin_px / S
+    cap2 = margin * margin  # distance saturation for missing candidates
 
     def render_one(v, k):
         uv, z = project_ndc(v[None], k[None])
         uv, z = uv[0], z[0]
-        tri_uv = uv[faces]  # (F, 3, 2)
-        tri_z = z[faces]
-        area = _edge_fn(tri_uv[None, :, 0, :], tri_uv[None, :, 1, :],
-                        tri_uv[None, :, 2, :])[0]
-        valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
-        idx, hit = _bin_faces(tri_uv, valid, s)  # (T, Kf)
-        tri_uv_t = tri_uv[idx]  # (T, Kf, 3, 2)
-        tri_z_t = tri_z[idx]
+        tri_uv = uv[topo.faces]  # (F, 3, 2)
+        tri_z = z[topo.faces]
+        area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
+        f_valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
 
-        sil_t, depth_t = jax.vmap(
-            lambda px_, tuv, tz, h: _shade_tile(px_, tuv, tz, h, s, with_depth)
-        )(pix, tri_uv_t, tri_z_t, hit)
+        # Contour edges of the CURRENT projection: adjacent faces have
+        # opposite orientation (or the edge is a mesh boundary).
+        front = jnp.where(f_valid, jnp.sign(area), 0.0)  # (F,)
+        front_pad = jnp.concatenate([front, jnp.zeros((1,), front.dtype)])
+        ef = topo.edge_faces  # (E, 2), -1 = none
+        o1 = front_pad[jnp.where(ef[:, 0] >= 0, ef[:, 0], front.shape[0])]
+        o2 = front_pad[jnp.where(ef[:, 1] >= 0, ef[:, 1], front.shape[0])]
+        e_z_ok = (z[topo.edges] > s.znear).all(-1)
+        any_adj_valid = (o1 != 0) | (o2 != 0)
+        is_contour = (o1 != o2) & e_z_ok & any_adj_valid
+        seg = uv[topo.edges]  # (E, 2, 2)
+
+        f_idx, f_hit = _bin_boxes(tri_uv.min(1), tri_uv.max(1), f_valid, s,
+                                  s.faces_per_tile, margin=0.5 / S)
+        e_idx, e_hit = _bin_boxes(seg.min(1), seg.max(1), is_contour, s,
+                                  s.edges_per_tile, margin=margin)
+
+        def shade_tile(px_, fi, fh, ei, eh):
+            covered = _face_inside(px_, tri_uv[fi], fh)
+            a = seg[ei][None, :, 0, :]  # (1, Ke, 2)
+            b = seg[ei][None, :, 1, :]
+            d2 = _point_segment_dist2(px_[:, None, :], a, b)
+            d2 = jnp.where(eh[None, :], d2, cap2)
+            d2 = jnp.minimum(d2.min(-1), cap2)
+            signed = jnp.where(covered, d2, -d2)
+            sil = jax.nn.sigmoid(signed / s.sigma)
+            if with_depth:
+                depth = _face_depth(px_, tri_uv[fi], tri_z[fi], fh, s)
+            else:
+                depth = None
+            return sil, depth
+
+        sil_t, depth_t = jax.vmap(shade_tile)(pix, f_idx, f_hit, e_idx, e_hit)
 
         def untile(x):  # (T, P) -> (S, S)
             x = x.reshape(g, g, tp, tp)
@@ -229,9 +309,8 @@ def rasterize_soft(verts: jnp.ndarray,
     return jax.vmap(render_one)(verts, K)
 
 
-@partial(jax.jit, static_argnames=("settings",))
 def rasterize_hard(verts: jnp.ndarray,
-                   faces: jnp.ndarray,
+                   topology,
                    K: jnp.ndarray,
                    face_colors: jnp.ndarray | None = None,
                    settings: RasterSettings = RasterSettings(),
@@ -242,11 +321,20 @@ def rasterize_hard(verts: jnp.ndarray,
     """Hard z-buffer rasterization for visualization (non-differentiable).
 
     Args:
-      verts: (B, V, 3); faces: (F, 3); K: (B, 3, 3) normalized.
+      verts: (B, V, 3); topology: MeshTopology or (F, 3); K normalized.
       face_colors: (F, 3) flat colors; white if None.
     Returns:
       dict rgb (B, S, S, 3), depth (B, S, S), sil (B, S, S) bool.
     """
+    return _rasterize_hard(verts, as_topology(topology).faces, K, face_colors,
+                           settings, background, tuple(light_dir), ambient,
+                           diffuse)
+
+
+@partial(jax.jit, static_argnames=("settings", "background", "light_dir",
+                                   "ambient", "diffuse"))
+def _rasterize_hard(verts, faces, K, face_colors, settings: RasterSettings,
+                    background, light_dir, ambient, diffuse):
     s = settings
     S, tp = s.image_size, s.tile_px
     g = S // tp
@@ -267,10 +355,10 @@ def rasterize_hard(verts: jnp.ndarray,
         normals = normals / jnp.maximum(
             jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
         shade = ambient + diffuse * jnp.abs(normals @ light)  # two-sided
-        area = _edge_fn(tri_uv[None, :, 0, :], tri_uv[None, :, 1, :],
-                        tri_uv[None, :, 2, :])[0]
+        area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
         valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
-        idx, hit = _bin_faces(tri_uv, valid, s)
+        idx, hit = _bin_boxes(tri_uv.min(1), tri_uv.max(1), valid, s,
+                              s.faces_per_tile, margin=0.5 / S)
 
         def shade_tile(px_, fidx, h):
             tuv = tri_uv[fidx]

@@ -1,0 +1,101 @@
+"""Stage-B pose initialization tests on synthetic evidence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homan_tpu.core import camera as cam
+from homan_tpu.core import geometry as geo
+from homan_tpu.core.meshes import bumpy_potato
+from homan_tpu.fit import poseinit
+from homan_tpu.render import RasterSettings, rasterize_soft
+from homan_tpu.render.rasterizer import MeshTopology
+
+
+def test_tco_autodepth_projects_into_bbox():
+    v, f = bumpy_potato(2, 0.1, seed=1)
+    verts = jnp.asarray(v)[None]
+    K = np.array([[200.0, 0, 128], [0, 200, 128], [0, 0, 1]], np.float32)
+    bbox = np.array([90.0, 100.0, 60.0, 50.0], np.float32)  # xywh px
+    t = poseinit.tco_init_from_boxes_autodepth(bbox, verts, K)
+    pts = verts + t[:, None, :]
+    proj = np.asarray(cam.batch_proj2d(pts, jnp.asarray(K)[None]))[0]
+    lo, hi = proj.min(0), proj.max(0)
+    # Projected bbox diagonal and center should match the target's.
+    diag = np.linalg.norm(hi - lo)
+    target_diag = np.linalg.norm(bbox[2:])
+    assert abs(diag - target_diag) / target_diag < 0.05
+    center = (lo + hi) / 2
+    target_center = bbox[:2] + bbox[2:] / 2
+    assert np.abs(center - target_center).max() < 3.0
+
+
+def test_compute_optimal_translation_matches_diag():
+    v, f = bumpy_potato(2, 0.1, seed=1)
+    verts = jnp.asarray(v)[None]
+    bbox = np.array([80.0, 90.0, 70.0, 60.0], np.float32)
+    t = poseinit.compute_optimal_translation(bbox, verts, f=1.0, img_size=256)
+    v_t = verts + t
+    proj = (np.asarray(v_t)[..., :2] / np.asarray(v_t)[..., 2:] + 0.5) * 256
+    diag = np.linalg.norm(proj[0].max(0) - proj[0].min(0))
+    assert abs(diag - np.linalg.norm(bbox[2:])) / np.linalg.norm(bbox[2:]) < 0.1
+
+
+def test_edge_edt_zero_on_edge():
+    mask = np.zeros((32, 32), np.float32)
+    mask[10:20, 12:24] = 1.0
+    edt = poseinit.reference_edge_edt(mask)
+    assert edt.shape == (32, 32)
+    # EDT is 0 on the dilated edge ring, positive far away
+    assert edt[0, 0] > 0
+    assert edt[9, 12] == 0.0  # just outside the rectangle = on pooled edge
+
+
+def test_find_optimal_poses_recovers_pose():
+    """500-candidate search on 2 synthetic frames must find a pose whose
+    silhouette matches the target well."""
+    rng = np.random.RandomState(3)
+    v, f = bumpy_potato(2, 0.09, seed=3)
+    topo = MeshTopology.from_faces(f)
+    verts = jnp.asarray(v)
+    S = 64  # evidence resolution
+    img = 128
+    K_px = np.array([[img * 0.9, 0, img / 2], [0, img * 0.9, img / 2],
+                     [0, 0, 1]], np.float32)
+
+    gt_R = np.asarray(geo.random_rotations(jax.random.PRNGKey(7), 2))
+    gt_t = np.array([[[0.02, -0.01, 0.55]], [[0.03, 0.0, 0.56]]], np.float32)
+
+    annotations = []
+    settings = RasterSettings(image_size=S, tile_px=16, faces_per_tile=384,
+                              edges_per_tile=192)
+    for i in range(2):
+        verts_t = verts @ jnp.asarray(gt_R[i]) + jnp.asarray(gt_t[i])
+        # full-image projected bbox in pixels
+        proj = np.asarray(cam.batch_proj2d(verts_t[None],
+                                           jnp.asarray(K_px)[None]))[0]
+        lo, hi = proj.min(0), proj.max(0)
+        bbox = np.array([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+        # square crop around the object (the ROI convention)
+        b = max(bbox[2], bbox[3]) * 1.3
+        sq = np.array([bbox[0] + bbox[2] / 2 - b / 2,
+                       bbox[1] + bbox[3] / 2 - b / 2, b, b], np.float32)
+        K_roi_px = cam.get_K_crop_resize(
+            jnp.asarray(K_px)[None],
+            jnp.asarray([[sq[0], sq[1], sq[0] + b, sq[1] + b]]), S)[0]
+        K_roi = cam.normalize_K(K_roi_px, S)
+        sil = rasterize_soft(verts_t[None], topo, K_roi[None],
+                             settings)["sil"][0]
+        mask = (np.asarray(sil) > 0.5).astype(np.float32)
+        annotations.append({"target_crop_mask": mask, "bbox": bbox,
+                            "square_bbox": sq, "full_mask": None})
+
+    results = poseinit.find_optimal_poses(
+        verts, topo, annotations, [K_px, K_px], (img, img),
+        num_initializations=96, num_iterations=40, rend_size=S,
+        settings=settings, seed=0)
+
+    assert len(results) == 2
+    assert results[0]["best_iou"] > 0.75, results[0]["best_iou"]
+    # Translation should land near the GT translation
+    t_err = np.abs(np.asarray(results[0]["translations"])[0, 0] - gt_t[0, 0])
+    assert t_err.max() < 0.08, t_err
