@@ -40,6 +40,9 @@ TIP_VERTEX_IDS = (745, 317, 444, 556, 673)
 # (homan/homan.py:324-327).
 JOINT_REORDER = (0, 13, 14, 15, 16, 1, 2, 3, 17, 4, 5, 6, 18, 10, 11, 12, 19,
                  7, 8, 9, 20)
+# Fixed MANO kinematic chain (wrist + 3 joints per finger). Static so the FK
+# unrolls at trace time even when model params are vmapped/stacked.
+MANO_PARENTS = (-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14)
 
 
 # ---------------------------------------------------------------------------
@@ -185,20 +188,21 @@ def synthetic_mano_params(seed: int = 0, dtype=jnp.float32) -> Dict[str, Any]:
 # Forward
 # ---------------------------------------------------------------------------
 def _rigid_transforms(rot_mats: jnp.ndarray, joints: jnp.ndarray,
-                      parents: np.ndarray) -> jnp.ndarray:
+                      parents=MANO_PARENTS) -> jnp.ndarray:
     """Forward-kinematic chain -> per-joint relative world transforms.
 
     Args:
       rot_mats: (J, 3, 3) local joint rotations (column convention).
       joints: (J, 3) rest-pose joint locations.
-      parents: static python/np (J,) parent indices, parents[0] == -1.
+      parents: STATIC (J,) parent indices, parents[0] == -1 (the fixed MANO
+        kintree; kept static so FK unrolls under vmap over model params).
     Returns:
       (J, 4, 4) transforms mapping rest-pose-relative coordinates, i.e. the
       usual A_k' = A_k - pack(A_k @ [j_k; 0]) of SMPL-style LBS.
     """
+    parents_np = np.asarray(parents)
     rel = joints - jnp.where(
-        (np.asarray(parents) >= 0)[:, None],
-        joints[np.maximum(np.asarray(parents), 0)], 0.0)
+        (parents_np >= 0)[:, None], joints[np.maximum(parents_np, 0)], 0.0)
 
     def make_T(R, t):
         T = jnp.zeros((4, 4), R.dtype)
@@ -210,7 +214,6 @@ def _rigid_transforms(rot_mats: jnp.ndarray, joints: jnp.ndarray,
     # The kinematic chain is short (depth <= 4) and static: unrolled python
     # loop over joints compiles to a tiny fixed DAG, no scan needed.
     world = [local_T[0]]
-    parents_np = np.asarray(parents)
     for j in range(1, rot_mats.shape[0]):
         world.append(world[parents_np[j]] @ local_T[j])
     world_T = jnp.stack(world)  # (J, 4, 4)
@@ -249,8 +252,7 @@ def mano_forward(params: Dict[str, Any],
     pose_feature = (rot_mats[1:] - jnp.eye(3, dtype=dtype)).reshape(-1)  # (135,)
     v_posed = v_shaped + jnp.einsum("vcf,f->vc", params["posedirs"], pose_feature)
 
-    rel_T, posed_joints = _rigid_transforms(
-        rot_mats, joints_rest, np.asarray(params["parents"]))
+    rel_T, posed_joints = _rigid_transforms(rot_mats, joints_rest)
     T = jnp.einsum("vj,jab->vab", params["weights"], rel_T)  # (778, 4, 4)
     verts = jnp.einsum("vab,vb->va", T[:, :3, :3], v_posed) + T[:, :3, 3]
 

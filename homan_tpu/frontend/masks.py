@@ -1,0 +1,119 @@
+"""Host-side mask preparation: crops, resizes, occlusion-aware targets.
+
+Replaces the detectron2 BitMasks/ROIAlign dependency of the reference
+(homan/lib2d/maskutils.py, homan/pointrend.py:118-140) with plain numpy
+bilinear sampling. The occlusion-aware target convention is kept exactly:
+-1 = occluded/ignore, 0 = background, 1 = foreground
+(homan/pose_optimization.py:66-69).
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+from homan_tpu.core import bbox as bbox_ops
+from homan_tpu.core import camera as cam
+
+REND_SIZE = 256  # evidence resolution (homan/constants.py:31)
+
+
+def crop_and_resize(masks: np.ndarray, boxes_xyxy: np.ndarray,
+                    size: int) -> np.ndarray:
+    """Bilinear crop+resize of masks to (size, size), detectron2-compatible.
+
+    Args:
+      masks: (N, H, W) float or bool.
+      boxes_xyxy: (N, 4).
+    Returns:
+      (N, size, size) float32 in [0, 1] (threshold at 0.5 for bits).
+    """
+    masks = np.asarray(masks, np.float32)
+    boxes = np.asarray(boxes_xyxy, np.float32)
+    n, h, w = masks.shape
+    out = np.zeros((n, size, size), np.float32)
+    # ROIAlign-style: sample `size` points per axis at bin centers.
+    steps = (np.arange(size, dtype=np.float32) + 0.5) / size
+    for i in range(n):
+        x1, y1, x2, y2 = boxes[i]
+        xs = x1 + steps * (x2 - x1) - 0.5
+        ys = y1 + steps * (y2 - y1) - 0.5
+        x0 = np.floor(xs).astype(np.int64)
+        y0 = np.floor(ys).astype(np.int64)
+        fx = xs - x0
+        fy = ys - y0
+
+        def take(yy, xx):
+            yy = np.clip(yy, 0, h - 1)
+            xx = np.clip(xx, 0, w - 1)
+            return masks[i][yy[:, None], xx[None, :]]
+
+        out[i] = ((1 - fy)[:, None] * ((1 - fx)[None] * take(y0, x0)
+                                       + fx[None] * take(y0, x0 + 1))
+                  + fy[:, None] * ((1 - fx)[None] * take(y0 + 1, x0)
+                                   + fx[None] * take(y0 + 1, x0 + 1)))
+    return out
+
+
+def add_occlusions(masks: Sequence[np.ndarray], occluder_mask: np.ndarray,
+                   mask_bboxes: Sequence[np.ndarray]):
+    """Mark occluder pixels as -1 in ROI object masks
+    (homan/lib2d/maskutils.py:16-38).
+
+    Args:
+      masks: list of (R, R) bool object crop-masks.
+      occluder_mask: (B, H, W) one-hot occluder masks (e.g. hands).
+      mask_bboxes: list of (4,) square xywh boxes matching each crop.
+    """
+    out = []
+    occ = np.asarray(occluder_mask, np.float32)
+    for mask, box in zip(masks, mask_bboxes):
+        box_xyxy = bbox_ops.bbox_wh_to_xy(np.asarray(box, np.float32))
+        occl = crop_and_resize(occ, np.tile(box_xyxy, (occ.shape[0], 1)),
+                               mask.shape[0]) >= 0.5
+        with_occ = np.asarray(mask, np.float32).copy()
+        with_occ[occl.sum(0) > 0] = -1
+        with_occ[np.asarray(mask, bool)] = 1
+        out.append(with_occ)
+    return out
+
+
+def add_target_hand_occlusions(person_parameters: Dict,
+                               object_parameters: Dict,
+                               K: np.ndarray,
+                               square_expand: float = 0.0,
+                               rend_size: int = REND_SIZE) -> Dict:
+    """Build per-hand occlusion-aware target masks + ROI intrinsics
+    (homan/lib2d/maskutils.py:41-81).
+
+    Args:
+      person_parameters: {"bboxes" (B,4) xyxy, "masks" (B,H,W)}; updated
+        in place with target_masks, K_roi (normalized), square_bboxes.
+      object_parameters: {"full_mask" (H,W)}.
+      K: (3, 3) pixel intrinsics of the full image.
+    """
+    import jax.numpy as jnp
+
+    person_masks = np.asarray(person_parameters["masks"], np.float32)
+    tight = np.asarray(person_parameters["bboxes"], np.float32)
+    b = tight.shape[0]
+    square = bbox_ops.bbox_wh_to_xy(
+        bbox_ops.make_bbox_square(bbox_ops.bbox_xy_to_wh(tight),
+                                  bbox_expansion=square_expand))
+    target = crop_and_resize(person_masks, square, rend_size)
+    target = (target >= 0.5).astype(np.float32)
+    obj_full = np.asarray(object_parameters["full_mask"], np.float32)
+    obj_crops = crop_and_resize(np.tile(obj_full[None], (b, 1, 1)), square,
+                                rend_size) >= 0.5
+    target[obj_crops] = -1
+
+    K_roi = cam.get_K_crop_resize(
+        jnp.tile(jnp.asarray(K, jnp.float32)[None], (b, 1, 1)),
+        jnp.asarray(square, jnp.float32), rend_size)
+    K_roi = np.array(K_roi)  # writable copy
+    K_roi[:, :2] = K_roi[:, :2] / rend_size  # normalized rendering space
+
+    person_parameters["target_masks"] = target
+    person_parameters["K_roi"] = K_roi
+    person_parameters["square_bboxes"] = square
+    return person_parameters
