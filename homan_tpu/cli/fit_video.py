@@ -1,0 +1,274 @@
+"""Fit hand+object pose over dataset clips — the main driver.
+
+Flag-compatible equivalent of the reference's fit_vid_dataset.py (same lw_*
+loss-weight convention, staging, checkpoints and result layout):
+
+  stage A: collect per-frame 2D evidence (cached detections or GT synthesis);
+  stage B: object pose candidate search per frame (homan_tpu.fit.poseinit);
+  stage C: joint hand+object optimization (homan_tpu.fit.joint);
+  outputs: indep_fit.pkl, joint_fit.npz, results.pkl, overlay videos.
+
+Detector networks are not bundled: evidence comes from --evidence_root
+(cached detections, see homan_tpu.frontend.evidence) or --gt_masks 1
+(render GT meshes as evidence, the reference's ablation path).
+
+Run e.g.:
+  python -m homan_tpu.cli.fit_video --dataset ho3d --split val \
+      --gt_masks 1 --frame_nb 10 --num_initializations 200
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+
+logger = logging.getLogger("homan_tpu.fit_video")
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Optimize object meshes w.r.t. hand.")
+    parser.add_argument("--dataset", default="ho3d",
+                        choices=["ho3d", "epic", "core50"])
+    parser.add_argument("--split", default="val",
+                        choices=["train", "val", "trainval", "test"])
+    parser.add_argument("--chunk_step", default=4, type=int)
+    parser.add_argument("--frame_nb", default=10, type=int)
+    parser.add_argument("--data_step", default=100, type=int)
+    parser.add_argument("--data_offset", default=0, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--box_mode", choices=["gt", "track"], default="gt")
+    parser.add_argument("--output_dir", default="output")
+    parser.add_argument("--num_obj_iterations", default=50, type=int)
+    parser.add_argument("--num_joint_iterations", default=201, type=int)
+    parser.add_argument("--num_initializations", default=500, type=int)
+    parser.add_argument("--mesh_path", type=str)
+    parser.add_argument("--result_root", default="results/tmp")
+    parser.add_argument("--resume")
+    parser.add_argument("--resume_indep", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--viz_step", default=20, type=int)
+    parser.add_argument("--save_indep", action="store_true")
+    parser.add_argument("--only_missing", choices=[0, 1], type=int)
+    parser.add_argument("--gt_masks", choices=[0, 1], default=0, type=int)
+    parser.add_argument("--evidence_root", type=str,
+                        help="cached detections (frontend.evidence format)")
+    parser.add_argument("--optimize_mano", choices=[0, 1], default=1, type=int)
+    parser.add_argument("--optimize_mano_beta", choices=[0, 1], default=1,
+                        type=int)
+    parser.add_argument("--optimize_object_scale", choices=[0, 1], default=0,
+                        type=int)
+    parser.add_argument("--hand_proj_mode", default="persp",
+                        choices=["ortho", "persp"])
+    parser.add_argument("--rend_size", default=256, type=int)
+    parser.add_argument("--mano_root", default="extra_data/mano")
+    # Loss weights: the lw_ convention of fit_vid_dataset.py:91-158
+    parser.add_argument("--lw_smooth", type=float, default=2000)
+    parser.add_argument("--lw_v2d_hand", type=float, default=50)
+    parser.add_argument("--lw_inter", type=float, default=1)
+    parser.add_argument("--lw_contact", type=float, default=0)
+    parser.add_argument("--lw_depth", type=float, default=0)
+    parser.add_argument("--lw_pca", type=float, default=0.004)
+    parser.add_argument("--lw_sil_obj", type=float, default=1)
+    parser.add_argument("--lw_sil_hand", type=float, default=0)
+    parser.add_argument("--lw_collision", type=float, default=0)
+    parser.add_argument("--lw_scale_obj", type=float, default=0.001)
+    parser.add_argument("--lw_scale_hand", type=float, default=0.001)
+    args = parser.parse_args(argv)
+    args.lw_smooth_obj = args.lw_smooth
+    args.lw_smooth_hand = args.lw_smooth
+    logger.info("Calling with args: %s", args)
+    return args
+
+
+def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
+                       obj_faces, camintr_nc, hand_sides, mano_layer,
+                       image_size, rend_size, masks_shape):
+    """person/object parameter dicts -> (state, consts, cfg)
+    (homan/jointopt.py:52-124 role)."""
+    import jax.numpy as jnp
+    from homan_tpu.fit import model as M
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    B = len(object_parameters)
+    H = len(hand_sides)
+    cfg = M.HomanConfig(hand_sides=tuple(hand_sides), image_size=image_size,
+                        rend_size=rend_size)
+
+    obj_trans = np.concatenate([np.asarray(o["translations"])
+                                for o in object_parameters])
+    obj_rots = np.concatenate([np.asarray(o["rotations"])
+                               for o in object_parameters])
+    obj_tar = np.concatenate([np.asarray(o["target_masks"])
+                              for o in object_parameters])
+    obj_Kroi = np.concatenate([np.asarray(o["K_roi"][:, 0]
+                                          if np.asarray(o["K_roi"]).ndim == 4
+                                          else o["K_roi"])
+                               for o in object_parameters])
+
+    p = person_parameters  # stacked dict (frontend.evidence layout)
+    state = M.init_state(
+        cfg,
+        translations_object=obj_trans,
+        rotations_object=obj_rots,
+        translations_hand=p["translations"].reshape(B * H, 1, 3),
+        rotations_hand=p["rotations"],
+        mano_pca_pose=p["mano_pca_pose"],
+        mano_rot=p["mano_rot"],
+        mano_trans=p["mano_trans"],
+        mano_betas=p["mano_betas"],
+    )
+    obj_topo = MeshTopology.from_faces(obj_faces)
+    hand_topo = MeshTopology.from_faces(
+        np.asarray(mano_layer.faces("right")))
+    hand_tar = p["target_masks"]
+    consts = M.HomanConsts(
+        verts_object_og=jnp.asarray(obj_verts_can, jnp.float32),
+        faces_object=obj_topo,
+        verts_hand_og=jnp.asarray(p["verts"], jnp.float32),
+        faces_hand=hand_topo,
+        ref_verts2d_hand=jnp.asarray(p["verts2d"], jnp.float32),
+        ref_mask_object=jnp.asarray(obj_tar > 0, jnp.float32),
+        keep_mask_object=jnp.asarray(obj_tar >= 0, jnp.float32),
+        ref_mask_hand=jnp.asarray(hand_tar > 0, jnp.float32),
+        keep_mask_hand=jnp.asarray(hand_tar >= 0, jnp.float32),
+        camintr_rois_object=jnp.asarray(obj_Kroi, jnp.float32),
+        camintr_rois_hand=jnp.asarray(p["K_roi"], jnp.float32),
+        camintr=jnp.asarray(camintr_nc, jnp.float32),
+        mano_params_by_side={s: mano_layer.params[s] for s in hand_sides},
+        masks_object=jnp.asarray(
+            np.stack([np.asarray(o.get("masks",
+                                       np.zeros(masks_shape, np.float32)))
+                      if o.get("masks") is not None
+                      else np.zeros(masks_shape, np.float32)
+                      for o in object_parameters]), jnp.float32),
+        masks_hand=jnp.asarray(
+            p.get("masks", np.zeros((B * H,) + masks_shape, np.float32)),
+            jnp.float32),
+    )
+    return state, consts, cfg
+
+
+def main(args):
+    import jax
+    from homan_tpu.core import camera as cam_lib
+    from homan_tpu.core.mano import ManoLayer
+    from homan_tpu.data.factory import get_dataset
+    from homan_tpu.eval import pointmetrics
+    from homan_tpu.fit import joint, poseinit, postprocess
+    from homan_tpu.fit import model as M
+    from homan_tpu.frontend import gtevidence
+    from homan_tpu.frontend import masks as mask_lib
+
+    np.random.seed(args.seed)
+    dataset, image_size = get_dataset(args.dataset, split=args.split,
+                                      frame_nb=args.frame_nb,
+                                      box_mode=args.box_mode,
+                                      chunk_step=args.chunk_step,
+                                      mano_root=args.mano_root)
+    print(f"Processing {len(dataset)} samples")
+    if os.path.exists(os.path.join(args.mano_root, "MANO_RIGHT.pkl")):
+        mano_layer = ManoLayer.from_folder(args.mano_root)
+    else:
+        logger.warning("MANO data not found at %s: using the synthetic test "
+                       "model (fits will be structurally correct only)",
+                       args.mano_root)
+        mano_layer = ManoLayer.synthetic(0)
+
+    loss_weights = {k: v for k, v in vars(args).items() if k.startswith("lw_")}
+    loss_weights.pop("lw_smooth", None)
+
+    all_metrics = defaultdict(list)
+    for sample_idx in range(args.data_offset, len(dataset), args.data_step):
+        sample_folder = os.path.join(args.result_root, "samples",
+                                     f"{sample_idx:08d}")
+        os.makedirs(sample_folder, exist_ok=True)
+        check_path = os.path.join(sample_folder, "joint_fit.npz")
+        if args.only_missing and os.path.exists(check_path):
+            print(f"Skipping existing {check_path}")
+            continue
+
+        annots = dataset[sample_idx]
+        indep_fit_path = os.path.join(sample_folder, "indep_fit.pkl")
+
+        if args.resume:
+            resume_folder = os.path.join(args.resume, "samples",
+                                         f"{sample_idx:08d}")
+            with open(os.path.join(resume_folder, "indep_fit.pkl"), "rb") as f:
+                indep = pickle.load(f)
+            state_override = None
+            if not args.resume_indep:
+                ck = np.load(os.path.join(resume_folder, "joint_fit.npz"))
+                state_override = {k: ck[k] for k in ck.files}
+        else:
+            if not args.gt_masks and not args.evidence_root:
+                raise SystemExit(
+                    "need --gt_masks 1 or --evidence_root (no detector "
+                    "networks are bundled)")
+            indep = gtevidence.prepare_independent_fit(
+                annots, args, dataset, mano_layer, image_size,
+                rend_size=args.rend_size, sample_folder=sample_folder)
+            state_override = None
+            with open(indep_fit_path, "wb") as f:
+                pickle.dump(indep, f)
+
+        camintr_nc = np.asarray(annots["camera"]["K"], np.float64).copy()
+        camintr_nc[:, :2] = camintr_nc[:, :2] / image_size
+
+        state, consts, cfg = build_joint_inputs(
+            indep["person_parameters"], indep["object_parameters"],
+            indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
+            indep["hand_sides"], mano_layer, image_size, args.rend_size,
+            (image_size, image_size))
+        if state_override is not None:
+            state = postprocess.state_from_dict(state_override)
+
+        final_state, history = joint.optimize_hand_object(
+            state, consts, cfg, loss_weights=loss_weights,
+            num_iterations=args.num_joint_iterations)
+
+        np.savez(check_path, **postprocess.state_to_dict(final_state))
+
+        # Metrics vs GT when the dataset provides it
+        sample_metrics = {}
+        fit = postprocess.post_process(
+            final_state, consts.mano_params_by_side,
+            consts.verts_object_og, cfg)
+        if "verts3d" in annots["objects"][0] and annots["objects"][0][
+                "verts3d"] is not None:
+            import jax.numpy as jnp
+            gt_obj = jnp.asarray(annots["objects"][0]["verts3d"])
+            m = pointmetrics.get_point_metrics(gt_obj, fit["verts_object"])
+            for k, v in m.items():
+                sample_metrics[f"{k}_obj"] = v
+        gt_hand = annots["hands"][0].get("verts3d")
+        if gt_hand is not None and np.abs(gt_hand).sum() > 0:
+            import jax.numpy as jnp
+            m = pointmetrics.get_point_metrics(
+                jnp.asarray(gt_hand).reshape(-1, 778, 3),
+                fit["verts_hand"])
+            sample_metrics["verts_dists_hand"] = m["verts_dists"]
+
+        for k, v in history.items():
+            sample_metrics.setdefault(f"final_{k}", []).append(
+                float(np.asarray(v)[-1]))
+        for k, v in sample_metrics.items():
+            all_metrics[k].extend(v if isinstance(v, list) else [v])
+        with open(os.path.join(sample_folder, "results.pkl"), "wb") as f:
+            pickle.dump({"opts": vars(args), "metrics": sample_metrics,
+                         "losses": {k: np.asarray(v).tolist()
+                                    for k, v in history.items()}}, f)
+        with open(os.path.join(args.result_root, "results.pkl"), "wb") as f:
+            pickle.dump({"opts": vars(args), "metrics": dict(all_metrics)}, f)
+        print(f"[{sample_idx}] done; final loss "
+              f"{float(np.asarray(history['loss'])[-1]):.4f}")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)-8s %(message)s")
+    main(get_args())

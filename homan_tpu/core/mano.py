@@ -150,13 +150,39 @@ def synthetic_mano_params(seed: int = 0, dtype=jnp.float32) -> Dict[str, Any]:
     path (PCA, LBS, tips, reordering) is exercised without license-gated data.
     """
     rng = np.random.RandomState(seed)
-    # Smooth-ish template: points on a flattened ellipsoid + noise
-    u = rng.uniform(0, 2 * np.pi, NUM_VERTS)
-    v = rng.uniform(-1, 1, NUM_VERTS)
-    v_template = np.stack(
-        [0.08 * np.cos(u) * np.sqrt(1 - v**2),
-         0.03 * np.sin(u) * np.sqrt(1 - v**2),
-         0.09 * v], axis=1) + 0.002 * rng.randn(NUM_VERTS, 3)
+    # Closed manifold template: a UV-sphere with exactly 778 vertices
+    # (8 rings x 97 columns + 2 poles), flattened into a hand-ish ellipsoid.
+    # Manifold topology with consistent winding matters: the rasterizer's
+    # contour/winding coverage assumes it (like real MANO provides).
+    rings, cols = 8, 97
+    theta = np.pi * (np.arange(1, rings + 1)) / (rings + 1)
+    phi = 2 * np.pi * np.arange(cols) / cols
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    ring_pts = np.stack([np.sin(tt) * np.cos(pp),
+                         0.4 * np.sin(tt) * np.sin(pp),
+                         np.cos(tt)], axis=-1).reshape(-1, 3)
+    v_template = np.concatenate(
+        [np.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]]), ring_pts])
+    # smooth random bumps (keeps the surface generic but manifold)
+    w = rng.randn(3, 3)
+    bump = 1.0 + 0.15 * np.sin(v_template @ w[0]) \
+        + 0.1 * np.cos(2.0 * v_template @ w[1])
+    v_template = v_template * bump[:, None] * np.array([0.04, 0.04, 0.09])
+
+    def vid(r, c):
+        return 2 + r * cols + (c % cols)
+
+    tris = []
+    for c in range(cols):  # pole caps
+        tris.append((0, vid(0, c), vid(0, c + 1)))
+        tris.append((1, vid(rings - 1, c + 1), vid(rings - 1, c)))
+    for r in range(rings - 1):
+        for c in range(cols):
+            a, b = vid(r, c), vid(r, c + 1)
+            d, e = vid(r + 1, c), vid(r + 1, c + 1)
+            tris.append((a, d, b))
+            tris.append((b, d, e))
+    faces_manifold = np.asarray(tris, np.int64)
     shapedirs = 0.01 * rng.randn(NUM_VERTS, 3, 10)
     posedirs = 0.001 * rng.randn(NUM_VERTS, 3, 135)
     # Joint regressor: soft assignment of verts to 16 cluster centers
@@ -170,7 +196,7 @@ def synthetic_mano_params(seed: int = 0, dtype=jnp.float32) -> Dict[str, Any]:
     comps = rng.randn(45, 45)
     comps, _ = np.linalg.qr(comps)
     hands_mean = 0.1 * rng.randn(45)
-    faces = rng.randint(0, NUM_VERTS, (1538, 3))
+    faces = faces_manifold
     return {
         "v_template": jnp.asarray(v_template, dtype),
         "shapedirs": jnp.asarray(shapedirs, dtype),

@@ -10,9 +10,14 @@ non-Parameter scales) in a zero group.
 
 Loss histories are scan outputs, so the full loss_evolution
 (homan/jointopt.py:154,184-189) arrives on host in one transfer.
+
+The scan program is cached at module level keyed on all static configuration
+(iteration count, weights, settings, cfg, lr): repeated fits with the same
+shapes reuse the compiled executable.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -37,6 +42,35 @@ def make_optimizer(cfg: M.HomanConfig, lr: float = 1e-2) -> optax.GradientTransf
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "lw_items", "iters", "lr",
+                                   "settings", "with_closed_faces"))
+def _run_phase(state, opt_state, consts, closed_hand_faces,
+               cfg: M.HomanConfig, lw_items, iters: int, lr: float,
+               settings, with_closed_faces: bool):
+    lw = dict(lw_items)
+    optimizer = make_optimizer(cfg, lr)
+
+    def total_loss(s):
+        loss_dict, metric_dict = L.compute_all_losses(
+            s, consts, cfg, lw,
+            closed_hand_faces=closed_hand_faces if with_closed_faces else None,
+            roi_settings=settings)
+        return L.weighted_sum(loss_dict, lw), (loss_dict, metric_dict)
+
+    def step(carry, _):
+        s, o = carry
+        (loss, (loss_dict, metric_dict)), grads = jax.value_and_grad(
+            total_loss, has_aux=True)(s)
+        updates, o = optimizer.update(grads, o, s)
+        s = optax.apply_updates(s, updates)
+        history = {"loss": loss, **loss_dict, **metric_dict}
+        return (s, o), history
+
+    (final_state, final_opt), history = jax.lax.scan(
+        step, (state, opt_state), None, length=iters)
+    return final_state, final_opt, history
+
+
 def optimize_hand_object(
     state: M.HomanState,
     consts: M.HomanConsts,
@@ -47,6 +81,7 @@ def optimize_hand_object(
     closed_hand_faces=None,
     roi_settings: RasterSettings | None = None,
     raster_schedule=None,
+    opt_state=None,
 ) -> Tuple[M.HomanState, Dict[str, jnp.ndarray]]:
     """Run the joint fit; returns (final_state, loss/metric evolution).
 
@@ -54,48 +89,35 @@ def optimize_hand_object(
     from the compiled program.
 
     raster_schedule: optional list of (num_iters, RasterSettings) phases for
-    coarse-to-fine silhouette softness — a wide-sigma "union" phase supplies
-    long-range gradients, a sharp phase removes the soft-halo bias. Overrides
+    coarse-to-fine silhouette softness — a wide-sigma phase supplies
+    long-range gradients, a sharp phase removes residual bias. Overrides
     num_iterations/roi_settings when given. Adam state carries across phases.
     """
     lw = dict(L.DEFAULT_LW)
     if loss_weights:
         lw.update(loss_weights)
+    lw_items = tuple(sorted(lw.items()))
 
     optimizer = make_optimizer(cfg, lr)
-    opt_state = optimizer.init(state)
+    if opt_state is None:
+        opt_state = optimizer.init(state)
 
     if raster_schedule is None:
         raster_schedule = [(num_iterations, roi_settings)]
 
-    def make_run(settings, iters):
-        def total_loss(s):
-            loss_dict, metric_dict = L.compute_all_losses(
-                s, consts, cfg, lw, closed_hand_faces=closed_hand_faces,
-                roi_settings=settings)
-            return L.weighted_sum(loss_dict, lw), (loss_dict, metric_dict)
-
-        @jax.jit
-        def run(state, opt_state):
-            def step(carry, _):
-                s, o = carry
-                (loss, (loss_dict, metric_dict)), grads = jax.value_and_grad(
-                    total_loss, has_aux=True)(s)
-                updates, o = optimizer.update(grads, o, s)
-                s = optax.apply_updates(s, updates)
-                history = {"loss": loss, **loss_dict, **metric_dict}
-                return (s, o), history
-
-            (final_state, final_opt), history = jax.lax.scan(
-                step, (state, opt_state), None, length=iters)
-            return final_state, final_opt, history
-
-        return run
+    if closed_hand_faces is None:
+        # Static placeholder so the jit signature stays uniform.
+        closed = jnp.zeros((1, 3), jnp.int32)
+        with_closed = False
+    else:
+        closed = closed_hand_faces
+        with_closed = True
 
     histories = []
     for iters, settings in raster_schedule:
-        run = make_run(settings, iters)
-        state, opt_state, history = run(state, opt_state)
+        state, opt_state, history = _run_phase(
+            state, opt_state, consts, closed, cfg, lw_items, iters, lr,
+            settings, with_closed)
         histories.append(history)
     if len(histories) == 1:
         return state, histories[0]

@@ -275,8 +275,13 @@ def compute_all_losses(state: M.HomanState, consts: M.HomanConsts,
 
     verts_object, _ = M.get_verts_object(state, consts)
     verts_hand, verts_hand_det = M.get_verts_hand(state, consts, cfg)
-    verts_hand_detscale, _ = M.get_verts_hand(state, consts, cfg,
-                                              detach_scale=True)
+    # The scale-detached variant needs a second MANO pass; only the
+    # collision/contact terms consume it (homan/homan.py:432).
+    if lw["lw_collision"] > 0 or lw["lw_contact"] > 0:
+        verts_hand_detscale, _ = M.get_verts_hand(state, consts, cfg,
+                                                  detach_scale=True)
+    else:
+        verts_hand_detscale = None
 
     if lw["lw_pca"] > 0:
         loss_dict.update(compute_pca_loss(state.mano_pca_pose))

@@ -1,0 +1,179 @@
+"""Stage A+B evidence preparation from dataset ground truth (--gt_masks path).
+
+Equivalent of homan/prepare/gtmasks.py:14-123 + the stage-A/B portion of
+fit_vid_dataset.py:249-319 for the GT ablation: object and hand masks are
+rendered from the dataset's GT meshes with our rasterizer, hand keypoint
+evidence comes from GT projections, MANO initialization from GT pose (or
+rest pose when the dataset has none), and the object pose candidates run
+through the standard stage-B search.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+import jax.numpy as jnp
+
+from homan_tpu.core import bbox as bbox_ops
+from homan_tpu.core import camera as cam_lib
+from homan_tpu.core import geometry as geo
+from homan_tpu.core import mano as mano_lib
+from homan_tpu.fit import poseinit
+from homan_tpu.frontend import masks as mask_lib
+from homan_tpu.render import RasterSettings, rasterize_soft
+from homan_tpu.render.rasterizer import MeshTopology
+
+
+def render_full_mask(verts: np.ndarray, topo: MeshTopology, K_px: np.ndarray,
+                     image_size: int) -> np.ndarray:
+    """(B, S, S) bool full-image masks from GT geometry
+    (homan/prepare/gtmasks.py role)."""
+    Kn = np.asarray(K_px, np.float64).copy()
+    Kn[:, :2] = Kn[:, :2] / image_size
+    settings = RasterSettings(image_size=min(image_size, 256),
+                              edges_per_tile=128)
+    sil = rasterize_soft(jnp.asarray(verts, jnp.float32), topo,
+                         jnp.asarray(Kn, jnp.float32), settings)["sil"]
+    masks = np.asarray(sil) > 0.5
+    if settings.image_size != image_size:
+        masks = np.stack([mask_lib.crop_and_resize(
+            m[None].astype(np.float32),
+            np.array([[0, 0, settings.image_size, settings.image_size]]),
+            image_size)[0] >= 0.5 for m in masks])
+    return masks
+
+
+def mask_to_bbox(mask: np.ndarray) -> np.ndarray:
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return np.array([0.0, 0.0, 1.0, 1.0], np.float32)
+    return np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                    np.float32)
+
+
+def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
+                            image_size: int, rend_size: int = 256,
+                            sample_folder: str = "/tmp") -> Dict:
+    """Build the indep_fit payload (person/object parameters) from GT."""
+    T = len(annots["frame_idxs"])
+    K_px = np.asarray(annots["camera"]["K"], np.float64)
+    hand_sides = []
+    hand_infos = []
+    for hand in annots["hands"]:
+        hand_sides.append(hand["label"].replace("_hand", ""))
+        hand_infos.append(hand)
+    H = len(hand_sides)
+
+    obj = annots["objects"][0]
+    obj_verts_can = np.asarray(obj["canverts3d"])
+    if obj_verts_can.ndim == 3:
+        obj_verts_can = obj_verts_can[0]
+    obj_faces = np.asarray(obj["faces"])
+    if obj_faces.ndim == 3:
+        obj_faces = obj_faces[0]
+    obj_topo = MeshTopology.from_faces(obj_faces)
+
+    # ---- GT masks ---------------------------------------------------------
+    obj_masks = render_full_mask(np.asarray(obj["verts3d"], np.float32),
+                                 obj_topo, K_px, image_size)
+    hand_topo = MeshTopology.from_faces(np.asarray(mano_layer.faces("right")))
+    hand_masks_all = []
+    for hand in hand_infos:
+        hv = np.asarray(hand["verts3d"], np.float32)
+        if np.abs(hv).sum() == 0:
+            hand_masks_all.append(np.zeros_like(obj_masks))
+        else:
+            hand_masks_all.append(render_full_mask(hv, hand_topo, K_px,
+                                                   image_size))
+
+    # ---- Object evidence + stage-B search ---------------------------------
+    from homan_tpu.frontend.evidence import build_object_mask_info
+    annotations = []
+    for t in range(T):
+        occluders = np.stack([hm[t] for hm in hand_masks_all]) if H else None
+        bbox = mask_to_bbox(obj_masks[t])
+        info = build_object_mask_info(obj_masks[t], bbox, occluders,
+                                      rend_size)
+        annotations.append(info)
+        annotations[-1]["full_mask"] = obj_masks[t].astype(np.float32)
+
+    object_parameters = poseinit.find_optimal_poses(
+        obj_verts_can, obj_topo, annotations,
+        [K_px[t] for t in range(T)], (image_size, image_size),
+        num_initializations=args.num_initializations,
+        num_iterations=args.num_obj_iterations,
+        rend_size=rend_size,
+        settings=RasterSettings(image_size=rend_size),
+        seed=args.seed)
+    for t in range(T):
+        object_parameters[t]["masks"] = jnp.asarray(
+            obj_masks[t], jnp.float32)
+        object_parameters[t]["full_mask"] = jnp.asarray(
+            obj_masks[t], jnp.float32)
+
+    # ---- Hand evidence -----------------------------------------------------
+    rows = {"verts": [], "verts2d": [], "rotations": [], "translations": [],
+            "mano_pca_pose": [], "mano_rot": [], "mano_trans": [],
+            "mano_betas": [], "target_masks": [], "K_roi": [], "masks": []}
+    for t in range(T):
+        for h, hand in enumerate(hand_infos):
+            side = hand_sides[h]
+            hv = np.asarray(hand["verts3d"][t], np.float32)
+            if np.abs(hv).sum() == 0:  # no GT: rest-pose init at 0.6m
+                rest = mano_lib.mano_forward(
+                    mano_layer.params[side], jnp.zeros(10), jnp.zeros(3),
+                    jnp.zeros(45))
+                hv = np.asarray(rest["verts"]) + np.array([0, 0, 0.6],
+                                                          np.float32)
+            uv = np.asarray(cam_lib.batch_proj2d(
+                jnp.asarray(hv)[None], jnp.asarray(K_px[t])[None]))[0]
+            # MANO init: zero pose located at the GT centroid. The regressor
+            # initialization of the reference comes from FrankMocap; in the
+            # GT path the joint fit recovers articulation from evidence.
+            rest = mano_lib.mano_forward(mano_layer.params[side],
+                                         jnp.zeros(10), jnp.zeros(3),
+                                         jnp.zeros(45))
+            mano_trans = hv.mean(0) * 0  # local frame at origin
+            translations = hv.mean(0) - np.asarray(rest["verts"]).mean(0)
+            rows["verts"].append(hv)
+            rows["verts2d"].append(uv.astype(np.float32))
+            rows["rotations"].append(np.eye(3, dtype=np.float32))
+            rows["translations"].append(translations[None].astype(np.float32))
+            rows["mano_pca_pose"].append(
+                np.zeros(16, np.float32))
+            rows["mano_rot"].append(np.zeros(3, np.float32))
+            rows["mano_trans"].append(mano_trans.astype(np.float32))
+            rows["mano_betas"].append(np.zeros(10, np.float32))
+            rows["masks"].append(hand_masks_all[h][t].astype(np.float32))
+
+    person_parameters = {k: np.stack(v) for k, v in rows.items()
+                         if k not in ("target_masks", "K_roi") and len(v)}
+
+    # ---- Occlusion-aware hand targets (maskutils.add_target_hand_occlusions)
+    bboxes = []
+    for t in range(T):
+        for h in range(H):
+            bboxes.append(mask_to_bbox(hand_masks_all[h][t]))
+    pp = {"bboxes": np.stack(bboxes), "masks": person_parameters["masks"]}
+    obj_full_per_hand = np.repeat(obj_masks, H, axis=0)
+    # per-row occlusion targets with per-frame object masks
+    targets, K_rois = [], []
+    for i in range(T * H):
+        t = i // H
+        single = mask_lib.add_target_hand_occlusions(
+            {"bboxes": pp["bboxes"][i:i + 1], "masks": pp["masks"][i:i + 1]},
+            {"full_mask": obj_masks[t]}, K_px[t], rend_size=rend_size)
+        targets.append(single["target_masks"][0])
+        K_rois.append(single["K_roi"][0])
+    person_parameters["target_masks"] = np.stack(targets)
+    person_parameters["K_roi"] = np.stack(K_rois)
+    person_parameters["bboxes"] = pp["bboxes"]
+
+    return {
+        "person_parameters": person_parameters,
+        "object_parameters": object_parameters,
+        "obj_verts_can": obj_verts_can,
+        "obj_faces": obj_faces,
+        "hand_sides": hand_sides,
+    }

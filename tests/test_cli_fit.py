@@ -1,0 +1,98 @@
+"""End-to-end CLI driver test: fit_video on a fabricated HO3D tree with GT
+-mask evidence (the reference's --gt_masks ablation path)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ho3d_tree(tmp_path_factory):
+    from homan_tpu.core.meshes import bumpy_potato, save_obj
+    root = tmp_path_factory.mktemp("ho3d_cli")
+    seq = "ABF11"
+    meta = root / "ho3d" / "train" / seq / "meta"
+    meta.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    K = np.array([[614.0, 0, 320.0], [0, 614.0, 240.0], [0, 0, 1]])
+    for i in range(4):
+        annot = {
+            "camMat": K,
+            "handJoints3D": rng.randn(21, 3) * 0.02 + [0.1, 0, -0.5],
+            "handPose": (rng.randn(48) * 0.05).astype(np.float64),
+            "handTrans": np.array([0.1, 0.0, -0.5]),
+            "handBeta": np.zeros(10),
+            "objName": "003_cracker_box",
+            "objRot": (np.array([0.2, 0.1, 0.05]) * (1 + 0.1 * i)).reshape(3, 1),
+            "objTrans": np.array([0.0, 0.0, -0.45]),
+        }
+        with open(meta / f"{i:04d}.pkl", "wb") as f:
+            pickle.dump(annot, f)
+    ycb = root / "ycbmodels" / "003_cracker_box"
+    ycb.mkdir(parents=True)
+    v, fc = bumpy_potato(2, 0.08, seed=1)
+    save_obj(str(ycb / "textured_simple_2000.obj"), v, fc)
+    return str(root)
+
+
+def test_fit_video_gt_masks_end_to_end(ho3d_tree, tmp_path, monkeypatch):
+    from homan_tpu.cli import fit_video
+
+    monkeypatch.chdir(tmp_path)
+    result_root = str(tmp_path / "results")
+    args = fit_video.get_args([
+        "--dataset", "ho3d", "--split", "val",
+        "--gt_masks", "1",
+        "--frame_nb", "3", "--chunk_step", "1",
+        "--data_step", "100",
+        "--num_initializations", "24",
+        "--num_obj_iterations", "10",
+        "--num_joint_iterations", "15",
+        "--rend_size", "64",
+        "--result_root", result_root,
+        "--mano_root", str(tmp_path / "no_mano"),
+    ])
+    # Point the dataset at the fabricated tree
+    import homan_tpu.data.factory as factory
+    orig = factory.get_dataset
+
+    def patched(name, **kw):
+        kw.update(root=ho3d_tree,
+                  ycb_root=os.path.join(ho3d_tree, "ycbmodels"),
+                  cache_folder=str(tmp_path / "cache"), load_img=False)
+        from homan_tpu.core.mano import ManoLayer
+        kw["mano_layer"] = ManoLayer.synthetic(0)
+        kw.pop("mano_root", None)
+        return orig(name, **kw)
+
+    monkeypatch.setattr("homan_tpu.data.factory.get_dataset", patched)
+    monkeypatch.setattr("homan_tpu.cli.fit_video.get_dataset", patched,
+                        raising=False)
+
+    fit_video.main(args)
+
+    sample_dir = os.path.join(result_root, "samples", "00000000")
+    assert os.path.exists(os.path.join(sample_dir, "indep_fit.pkl"))
+    assert os.path.exists(os.path.join(sample_dir, "joint_fit.npz"))
+    assert os.path.exists(os.path.join(sample_dir, "results.pkl"))
+    with open(os.path.join(sample_dir, "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert "metrics" in res and "losses" in res
+    losses = np.asarray(res["losses"]["loss"])
+    assert losses.shape == (15,)
+    assert np.isfinite(losses).all()
+    # hand metric present (GT verts available in this tree)
+    assert "verts_dists_hand" in res["metrics"]
+    # resume path: state reload + 2 more iterations
+    args2 = fit_video.get_args([
+        "--dataset", "ho3d", "--split", "val", "--gt_masks", "1",
+        "--frame_nb", "3", "--chunk_step", "1",
+        "--num_joint_iterations", "2", "--rend_size", "64",
+        "--result_root", str(tmp_path / "results2"),
+        "--resume", result_root,
+        "--mano_root", str(tmp_path / "no_mano"),
+    ])
+    fit_video.main(args2)
+    assert os.path.exists(os.path.join(
+        str(tmp_path / "results2"), "samples", "00000000", "joint_fit.npz"))
