@@ -114,11 +114,16 @@ def tco_init_from_boxes_autodepth(bbox_xywh, model_points_3d, K_px,
 
 
 def _maxpool_edges(sil: jnp.ndarray, kernel: int = 7) -> jnp.ndarray:
-    """maxpool(k, stride 1, same) - sil (homan/pose_optimization.py:136-137)."""
+    """maxpool(k, stride 1, same) - sil (homan/pose_optimization.py:136-137).
+
+    Reshaped to keep >= 2 window-inactive dims: TPU's select-and-scatter
+    (the reduce_window max backward) requires it.
+    """
     pad = kernel // 2
+    x = sil[:, None]  # (B, 1, S, S)
     pooled = jax.lax.reduce_window(
-        sil, -jnp.inf, jax.lax.max, (1, kernel, kernel), (1, 1, 1),
-        [(0, 0), (pad, pad), (pad, pad)])
+        x, -jnp.inf, jax.lax.max, (1, 1, kernel, kernel), (1, 1, 1, 1),
+        [(0, 0), (0, 0), (pad, pad), (pad, pad)])[:, 0]
     return pooled - sil
 
 
@@ -143,26 +148,40 @@ class PoseFitResult:
 
 
 @partial(jax.jit, static_argnames=("settings", "num_iterations", "lr",
-                                   "lw_chamfer"))
+                                   "lw_chamfer", "candidate_chunk"))
 def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
                     rot6d_init, trans_init, settings: RasterSettings,
                     num_iterations: int = 50, lr: float = 1e-2,
-                    lw_chamfer: float = 0.0):
-    """Refine C pose candidates against one frame's mask evidence."""
-    C = rot6d_init.shape[0]
-    Kb = jnp.broadcast_to(K_roi, (C, 3, 3))
-    ref = jnp.broadcast_to(target_mask[None], (C,) + target_mask.shape)
-    keep = jnp.broadcast_to(keep_mask[None], (C,) + keep_mask.shape)
-    edtb = jnp.broadcast_to(edt[None], (C,) + edt.shape)
+                    lw_chamfer: float = 0.0, candidate_chunk: int = 125):
+    """Refine C pose candidates against one frame's mask evidence.
 
-    def loss_fn(params):
+    Candidates are independent, so loss+grad evaluates in `candidate_chunk`
+    -sized chunks via lax.map: HBM holds one chunk's render intermediates at
+    a time (500 candidates x 256^2 x candidate edges would otherwise
+    materialize tens of GB in the backward).
+    """
+    C = rot6d_init.shape[0]
+    chunk = min(candidate_chunk, C)
+    while C % chunk:  # largest divisor of C not exceeding candidate_chunk
+        chunk -= 1
+    n_chunks = C // chunk
+    Kb = jnp.broadcast_to(K_roi, (chunk, 3, 3))
+    ref = jnp.broadcast_to(target_mask[None], (chunk,) + target_mask.shape)
+    keep = jnp.broadcast_to(keep_mask[None], (chunk,) + keep_mask.shape)
+    edtb = jnp.broadcast_to(edt[None], (chunk,) + edt.shape)
+
+    def chunk_loss(params):
+        """Loss over one chunk of candidates: params leaves lead with chunk."""
         R = geo.rot6d_to_matrix(params["rot6d"])
         verts = jnp.einsum("vj,cjk->cvk", vertices, R) + params["trans"]
         sil = rasterize_soft(verts, topo, Kb, settings)["sil"]
         image = keep * sil
         l_mask = ((image - ref) ** 2).sum(axis=(1, 2))
-        l_chamfer = lw_chamfer * (
-            _maxpool_edges(image) * edtb).sum(axis=(1, 2))
+        if lw_chamfer > 0:  # static gate, like the lw_ pruning elsewhere
+            l_chamfer = lw_chamfer * (
+                _maxpool_edges(image) * edtb).sum(axis=(1, 2))
+        else:
+            l_chamfer = 0.0
         # Offscreen penalty (pose_optimization.py:112-134) in our [0,1]
         # normalized projection space.
         proj = cam.batch_proj2d(verts, Kb)
@@ -175,21 +194,35 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
         iou = batch_mask_iou(image, ref)
         return total.sum(), (total, iou)
 
+    def chunked(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), tree)
+
+    def unchunked(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((C,) + x.shape[2:]), tree)
+
+    def loss_and_grad(params):
+        out = jax.lax.map(
+            lambda p: jax.value_and_grad(chunk_loss, has_aux=True)(p),
+            chunked(params))
+        (_, (total, iou)), grads = out
+        return unchunked(total), unchunked(iou), unchunked(grads)
+
     params = {"rot6d": rot6d_init, "trans": trans_init}
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
     def step(carry, _):
         p, o = carry
-        (_, (total, iou)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(p)
+        total, iou, grads = loss_and_grad(p)
         updates, o = opt.update(grads, o)
         p = optax.apply_updates(p, updates)
         return (p, o), {"loss_min": total.min(), "iou_max": iou.max()}
 
     (params, _), history = jax.lax.scan(step, (params, opt_state), None,
                                         length=num_iterations)
-    _, (total, iou) = loss_fn(params)
+    total, iou, _ = loss_and_grad(params)
     return params, total, iou, history
 
 
@@ -205,6 +238,8 @@ def find_optimal_poses(
     settings: RasterSettings | None = None,
     seed: int = 0,
     lw_chamfer: float = 0.0,
+    prune_to: int | None = None,
+    coarse_iterations: int = 35,
 ) -> List[Dict]:
     """Per-frame candidate refinement + best-motion selection
     (homan/pose_optimization.py:386-488).
@@ -216,6 +251,12 @@ def find_optimal_poses(
         bbox (4,) xywh pixels, and optionally full_mask.
       Ks: per frame (3, 3) pixel intrinsics of the full image.
       image_size: (H, W, ...) of the full image.
+      prune_to: TPU-native successive halving — frame 0 first runs ALL
+        candidates for `coarse_iterations` at HALF resolution, keeps the
+        `prune_to` best by IoU, and only those survive into the full
+        -resolution refinement and the remaining frames (candidate indices
+        stay aligned across frames so best-motion selection is unchanged).
+        None = exact reference behavior (all candidates, full res).
     Returns:
       list of per-frame dicts: rotations (1, 3, 3), translations (1, 1, 3),
       K_roi (1, 3, 3), target_masks, masks, verts, verts_trans — the contract
@@ -230,7 +271,7 @@ def find_optimal_poses(
     previous_rotations = None
     all_params = []
     all_ious = []
-    for annot, K in zip(annotations, Ks):
+    for frame_i, (annot, K) in enumerate(zip(annotations, Ks)):
         mask = np.asarray(annot["target_crop_mask"])
         ref_mask = jnp.asarray((mask > 0).astype(np.float32))
         keep_mask = jnp.asarray((mask >= 0).astype(np.float32))
@@ -251,10 +292,32 @@ def find_optimal_poses(
         trans = tco_init_from_boxes_autodepth(
             np.asarray(annot["bbox"], np.float32), rotated,
             jnp.asarray(K, jnp.float32))[:, None, :]
+        rot6d = geo.matrix_to_rot6d(rotations)
+
+        if prune_to is not None and frame_i == 0 and \
+                prune_to < num_initializations:
+            half = max(32, (settings.image_size // 2)
+                       // settings.tile_px * settings.tile_px) \
+                if settings.image_size > 64 else settings.image_size
+            coarse = dataclasses.replace(settings, image_size=half)
+            from homan_tpu.frontend.masks import crop_and_resize
+            R0 = mask.shape[0]
+            m_half = crop_and_resize(mask[None].astype(np.float32),
+                                     np.array([[0, 0, R0, R0]]), half)[0]
+            c_params, _, c_ious, _ = _fit_candidates(
+                vertices, topo,
+                jnp.asarray((m_half > 0.5).astype(np.float32)),
+                jnp.asarray((m_half >= -0.5).astype(np.float32)),
+                jnp.zeros((half, half), jnp.float32), K_roi,
+                rot6d, trans, coarse,
+                num_iterations=coarse_iterations, lw_chamfer=0.0)
+            keep_idx = jnp.argsort(-c_ious)[:prune_to]
+            rot6d = c_params["rot6d"][keep_idx]
+            trans = c_params["trans"][keep_idx]
 
         params, losses, ious, history = _fit_candidates(
             vertices, topo, ref_mask, keep_mask, edt, K_roi,
-            geo.matrix_to_rot6d(rotations), trans, settings,
+            rot6d, trans, settings,
             num_iterations=num_iterations, lw_chamfer=lw_chamfer)
 
         rot_final = geo.rot6d_to_matrix(params["rot6d"])
