@@ -130,12 +130,15 @@ def _maxpool_edges(sil: jnp.ndarray, kernel: int = 7) -> jnp.ndarray:
 def reference_edge_edt(mask: np.ndarray, kernel: int = 7,
                        power: float = 0.25) -> np.ndarray:
     """Distance transform of the target mask's edge, host-side
-    (homan/pose_optimization.py:84-88)."""
-    from scipy.ndimage import distance_transform_edt
+    (homan/pose_optimization.py:84-88). Uses the native C++ EDT when built
+    (homan_tpu.native), scipy otherwise."""
+    from homan_tpu import native
     m = (np.asarray(mask) > 0).astype(np.float32)
     pooled = np.asarray(_maxpool_edges(jnp.asarray(m)[None], kernel)[0])
     edge = pooled > 0
-    return distance_transform_edt(~edge) ** (power * 2)
+    # edt^ (power*2) where edt is the (unsquared) distance:
+    # = (squared_edt)^power
+    return native.edt2d_squared(edge) ** power
 
 
 @dataclasses.dataclass
