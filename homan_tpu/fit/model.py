@@ -43,6 +43,9 @@ class HomanState:
     mano_betas: jnp.ndarray           # (B*H, 10)
     int_scales_object: jnp.ndarray    # (1,)
     int_scales_hand: jnp.ndarray      # (1,)
+    # Weak-perspective cameras for hand_proj_mode="ortho" (homan/homan.py:91
+    # -94); unused (zeros) in the default "persp" mode.
+    cams_hand: jnp.ndarray = None     # (B*H, 3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +57,8 @@ class HomanConfig:
     optimize_mano: bool = True
     optimize_mano_beta: bool = True
     optimize_object_scale: bool = False
+    optimize_ortho_cam: bool = True
+    hand_proj_mode: str = "persp"  # or "ortho" (homan/homan.py:364-382)
     inter_type: str = "centroid"  # or "min"
     pca_comps: int = 16
 
@@ -87,6 +92,7 @@ def init_state(cfg: HomanConfig,
                translations_object, rotations_object,
                translations_hand, rotations_hand,
                mano_pca_pose, mano_rot, mano_trans, mano_betas,
+               cams_hand=None,
                int_scale_init: float = 1.0) -> HomanState:
     """Build the state pytree, converting 3x3 rotations to rot6d and zeroing
     betas like the reference constructor (homan/homan.py:66-131)."""
@@ -107,6 +113,8 @@ def init_state(cfg: HomanConfig,
         mano_betas=jnp.zeros_like(jnp.asarray(mano_betas, jnp.float32)),
         int_scales_object=jnp.ones((1,), jnp.float32) * int_scale_init,
         int_scales_hand=jnp.ones((1,), jnp.float32) * int_scale_init,
+        cams_hand=(jnp.asarray(cams_hand, jnp.float32) if cams_hand is not None
+                   else jnp.zeros((rot_h.shape[0], 3), jnp.float32)),
     )
 
 
@@ -154,7 +162,12 @@ def _mano_verts_all_sides(state: HomanState, consts: HomanConsts,
 
 def get_verts_hand(state: HomanState, consts: HomanConsts, cfg: HomanConfig,
                    detach_scale: bool = False):
-    """(B*H, 778, 3) posed hand vertices (+ articulation-detached twin)."""
+    """(B*H, 778, 3) posed hand vertices (+ articulation-detached twin).
+
+    hand_proj_mode="ortho" places the hand through a weak-perspective camera
+    converted to a perspective translation (homan/homan.py:364-371), used
+    when FrankMocap's camera is trusted over an explicit translation.
+    """
     if cfg.optimize_mano:
         verts_og, _ = _mano_verts_all_sides(state, consts, cfg)
     else:
@@ -162,6 +175,11 @@ def get_verts_hand(state: HomanState, consts: HomanConsts, cfg: HomanConfig,
     scale = state.int_scales_hand
     if detach_scale:
         scale = jax.lax.stop_gradient(scale)
+    if cfg.hand_proj_mode == "ortho":
+        K = jnp.repeat(consts.camintr, cfg.hand_nb, axis=0)
+        return cam.compute_transformation_ortho(
+            verts_og, state.cams_hand, intrinsic_scales=scale, K=K,
+            image_size=cfg.image_size)
     R = geo.rot6d_to_matrix(state.rotations_hand)
     return cam.compute_transformation_persp(
         verts_og, state.translations_hand, R, scale)
@@ -189,6 +207,8 @@ def optimizer_param_labels(cfg: HomanConfig) -> HomanState:
     scale_hand = "frozen" if cfg.optimize_mano_beta else "rigid"
     mano = "mano" if cfg.optimize_mano else "frozen"
     betas = "mano" if (cfg.optimize_mano and cfg.optimize_mano_beta) else "frozen"
+    cams = ("rigid" if (cfg.hand_proj_mode == "ortho"
+                        and cfg.optimize_ortho_cam) else "frozen")
     return HomanState(
         translations_object="rigid",
         rotations_object="rot",
@@ -200,4 +220,5 @@ def optimizer_param_labels(cfg: HomanConfig) -> HomanState:
         mano_betas=betas,
         int_scales_object=scale_obj,
         int_scales_hand=scale_hand,
+        cams_hand=cams,
     )

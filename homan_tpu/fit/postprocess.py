@@ -24,6 +24,10 @@ def state_to_dict(state: M.HomanState) -> Dict[str, np.ndarray]:
 
 
 def state_from_dict(d: Dict[str, np.ndarray]) -> M.HomanState:
+    d = dict(d)
+    if "cams_hand" not in d:  # checkpoints predating the ortho mode
+        d["cams_hand"] = np.zeros((np.asarray(d["rotations_hand"]).shape[0], 3),
+                                  np.float32)
     return M.HomanState(**{k: jnp.asarray(v) for k, v in d.items()})
 
 

@@ -199,6 +199,7 @@ def make_synthetic_scene(
         mano_betas=gt_state.mano_betas,
         int_scales_object=gt_state.int_scales_object,
         int_scales_hand=gt_state.int_scales_hand,
+        cams_hand=gt_state.cams_hand,
     )
 
     # Closed-fist topology stand-in: the synthetic faces already form the
