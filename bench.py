@@ -51,7 +51,9 @@ def main():
     scene = make_synthetic_scene(
         seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
         rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0))
-    settings = RasterSettings(image_size=rend)
+    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=64)
 
     def run(n_iters):
         final, history = joint.optimize_hand_object(

@@ -1,0 +1,219 @@
+"""Pallas TPU kernel for the rasterizer's tile shading (forward + custom VJP).
+
+The XLA formulation in rasterizer.py materializes (pixels x edge-candidates)
+intermediates per tile in the backward pass; this kernel keeps the whole
+(tile_px^2 x Ke) computation in VMEM registers, unrolling the static edge
+-candidate loop, and implements the exact backward analytically:
+
+  forward:  winding(p) = anchor(p) + sum_k sign_k * crossing_k(p)
+            d2(p) = min_k dist^2(p, segment_k)   [+ argmin k*]
+            sil(p) = sigmoid(sign(winding) * d2 / sigma)
+
+  backward: only the argmin segment k*(p) receives gradient;
+            d(d2)/d(endpoints) uses the envelope theorem through the
+            clamped projection parameter t (exactly what XLA autodiff
+            computes, without the (P x Ke) mask materialization).
+
+Per-tile packed inputs (built in XLA, gathers stay outside the kernel):
+  seg_pack (B, T, 8, Ke): rows = [p0x, p0y, p1x, p1y, sign, valid, 0, 0]
+  anchors  (B, T, tp, tp): per-pixel winding anchors (x > tile right edge)
+
+The kernel grid is (B, T); each instance shades one (tp, tp) pixel block.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    # Interpreter mode on CPU so the kernel is testable without a TPU.
+    return jax.default_backend() == "cpu"
+
+
+
+def _pixel_grids(tile_px: int, image_size: int, g: int):
+    """(tile_px, tile_px) pixel-index grids (TPU iota must be integer)."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_px, tile_px), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_px, tile_px), 1)
+    return ix.astype(jnp.float32), iy.astype(jnp.float32)
+
+
+def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
+                      tile_px: int, image_size: int, g: int, sigma: float,
+                      cap2: float, ke: int):
+    t = pl.program_id(1)
+    gx = (t % g).astype(jnp.float32)
+    gy = (t // g).astype(jnp.float32)
+    ix, iy = _pixel_grids(tile_px, image_size, g)
+    inv_s = 1.0 / image_size
+    px = (gx * tile_px + ix + 0.5) * inv_s
+    py = (gy * tile_px + iy + 0.5) * inv_s
+    x1 = (gx + 1.0) * tile_px * inv_s
+
+    winding = anchor_ref[0, 0]
+    d2min = jnp.full((tile_px, tile_px), cap2, jnp.float32)
+    amin = jnp.full((tile_px, tile_px), -1, jnp.int32)
+
+    for k in range(ke):
+        ax = seg_ref[0, 0, 0, k]
+        ay = seg_ref[0, 0, 1, k]
+        bx = seg_ref[0, 0, 2, k]
+        by = seg_ref[0, 0, 3, k]
+        sgn = seg_ref[0, 0, 4, k]
+        dy = by - ay
+        dy_safe = jnp.where(jnp.abs(dy) > 1e-12, dy, 1.0)
+        spans = (ay <= py) != (by <= py)
+        tt = (py - ay) / dy_safe
+        xi = ax + tt * (bx - ax)
+        cross = spans & (xi > px) & (xi <= x1)
+        winding = winding + jnp.where(cross, sgn, 0.0)
+
+        # point-segment distance^2
+        ex = bx - ax
+        ey = by - ay
+        denom = jnp.maximum(ex * ex + ey * ey, 1e-12)
+        tc = jnp.clip(((px - ax) * ex + (py - ay) * ey) / denom, 0.0, 1.0)
+        dx = px - (ax + tc * ex)
+        dyp = py - (ay + tc * ey)
+        d2 = dx * dx + dyp * dyp
+        better = d2 < d2min
+        d2min = jnp.where(better, d2, d2min)
+        amin = jnp.where(better, k, amin)
+
+    covered = jnp.abs(winding) > 0.5
+    signed = jnp.where(covered, d2min, -d2min)
+    sil_ref[0, 0] = jax.nn.sigmoid(signed / sigma)
+    amin_ref[0, 0] = amin
+
+
+def _shade_bwd_kernel(seg_ref, sil_ref, amin_ref, gcot_ref, gseg_ref, *,
+                      tile_px: int, image_size: int, g: int, sigma: float,
+                      cap2: float, ke: int):
+    t = pl.program_id(1)
+    gx = (t % g).astype(jnp.float32)
+    gy = (t // g).astype(jnp.float32)
+    ix, iy = _pixel_grids(tile_px, image_size, g)
+    inv_s = 1.0 / image_size
+    px = (gx * tile_px + ix + 0.5) * inv_s
+    py = (gy * tile_px + iy + 0.5) * inv_s
+
+    sil = sil_ref[0, 0]
+    amin = amin_ref[0, 0]
+    gcot = gcot_ref[0, 0]
+    covered = sil >= 0.5  # sign(winding) recovered from the forward output
+    # d(sil)/d(d2) = sigmoid' * (+-1)/sigma
+    base = gcot * sil * (1.0 - sil) / sigma
+    base = jnp.where(covered, base, -base)
+
+    for k in range(ke):
+        ax = seg_ref[0, 0, 0, k]
+        ay = seg_ref[0, 0, 1, k]
+        bx = seg_ref[0, 0, 2, k]
+        by = seg_ref[0, 0, 3, k]
+        ex = bx - ax
+        ey = by - ay
+        denom = jnp.maximum(ex * ex + ey * ey, 1e-12)
+        tc = jnp.clip(((px - ax) * ex + (py - ay) * ey) / denom, 0.0, 1.0)
+        rx = px - (ax + tc * ex)
+        ry = py - (ay + tc * ey)
+        m = (amin == k)
+        w = jnp.where(m, base, 0.0)
+        # envelope theorem through clamped tc:
+        # d d2/da = -2 r (1 - tc);  d d2/db = -2 r tc
+        gax = jnp.sum(w * (-2.0) * rx * (1.0 - tc))
+        gay = jnp.sum(w * (-2.0) * ry * (1.0 - tc))
+        gbx = jnp.sum(w * (-2.0) * rx * tc)
+        gby = jnp.sum(w * (-2.0) * ry * tc)
+        # scalar stores -> SMEM output block
+        gseg_ref[0, 0, 0, k] = gax
+        gseg_ref[0, 0, 1, k] = gay
+        gseg_ref[0, 0, 2, k] = gbx
+        gseg_ref[0, 0, 3, k] = gby
+        # rows 4..7 (sign/valid/padding) get no gradient
+        gseg_ref[0, 0, 4, k] = 0.0
+        gseg_ref[0, 0, 5, k] = 0.0
+        gseg_ref[0, 0, 6, k] = 0.0
+        gseg_ref[0, 0, 7, k] = 0.0
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def shade_tiles_pallas(seg_pack, anchors, static):
+    """(B, T, tp, tp) soft silhouette tiles.
+
+    Args:
+      seg_pack: (B, T, 8, Ke) packed per-tile segment data (see module doc).
+      anchors: (B, T, tp, tp) winding anchors.
+      static: tuple (tile_px, image_size, g, sigma, cap2, ke) — hashable.
+    """
+    sil, _ = _shade_fwd(seg_pack, anchors, static)
+    return sil
+
+
+def _shade_fwd(seg_pack, anchors, static):
+    tile_px, image_size, g, sigma, cap2, ke = static
+    B, T = seg_pack.shape[:2]
+    kern = partial(_shade_fwd_kernel, tile_px=tile_px, image_size=image_size,
+                   g=g, sigma=sigma, cap2=cap2, ke=ke)
+    sil, amin = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, ke), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, tile_px, tile_px), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, tile_px, tile_px), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(seg_pack, anchors)
+    return sil, amin
+
+
+def _shade_fwd_vjp(seg_pack, anchors, static):
+    sil, amin = _shade_fwd(seg_pack, anchors, static)
+    return sil, (seg_pack, sil, amin)
+
+
+def _shade_bwd_vjp(static, residuals, gcot):
+    tile_px, image_size, g, sigma, cap2, ke = static
+    seg_pack, sil, amin = residuals
+    B, T = seg_pack.shape[:2]
+    kern = partial(_shade_bwd_kernel, tile_px=tile_px, image_size=image_size,
+                   g=g, sigma=sigma, cap2=cap2, ke=ke)
+    gseg = pl.pallas_call(
+        kern,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, ke), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, ke), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, 8, ke), jnp.float32),
+        interpret=_interpret(),
+    )(seg_pack, sil, amin, gcot)
+    return gseg, None
+
+
+shade_tiles_pallas.defvjp(_shade_fwd_vjp, _shade_bwd_vjp)
