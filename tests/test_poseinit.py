@@ -91,7 +91,7 @@ def test_find_optimal_poses_recovers_pose():
 
     results = poseinit.find_optimal_poses(
         verts, topo, annotations, [K_px, K_px], (img, img),
-        num_initializations=96, num_iterations=40, rend_size=S,
+        num_initializations=48, num_iterations=30, rend_size=S,
         settings=settings, seed=0)
 
     assert len(results) == 2
