@@ -288,6 +288,11 @@ def mano_forward(params: Dict[str, Any],
     return {"verts": verts, "joints": posed_joints}
 
 
+# Jitted single-sample forward for host-side data/evidence preparation:
+# eager op-by-op dispatch is pathologically slow on remote accelerators.
+mano_forward_jit = jax.jit(mano_forward)
+
+
 def pca_to_axis_angle(params: Dict[str, Any],
                       pca_pose: jnp.ndarray,
                       is_left: bool = False,

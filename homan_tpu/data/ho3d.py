@@ -211,10 +211,10 @@ class HO3D:
             pose = np.zeros(48, np.float32)
             trans = np.asarray(annot["handJoints3D"], np.float32).reshape(-1)[:3]
             betas = np.zeros(10, np.float32)
-        out = mano_lib.mano_forward(self.mano.params["right"],
-                                    jnp.asarray(betas),
-                                    jnp.asarray(pose[:3]),
-                                    jnp.asarray(pose[3:]))
+        out = mano_lib.mano_forward_jit(self.mano.params["right"],
+                                        jnp.asarray(betas),
+                                        jnp.asarray(pose[:3]),
+                                        jnp.asarray(pose[3:]))
         verts = np.asarray(out["verts"]) + trans
         joints = np.asarray(out["joints"]) + trans
         return verts, joints

@@ -44,6 +44,21 @@ def render_full_mask(verts: np.ndarray, topo: MeshTopology, K_px: np.ndarray,
     return masks
 
 
+def procrustes_rigid(src: np.ndarray, dst: np.ndarray):
+    """Best-fit rotation/translation dst ~ src @ R + t (row-vector R, the
+    model convention). The FrankMocap global-pose initialization of the
+    reference's evidence (mocap.py:64-68) is replaced in the GT path by this
+    exact alignment of the rest hand to the GT vertices."""
+    src_c = src - src.mean(0)
+    dst_c = dst - dst.mean(0)
+    H = src_c.T @ dst_c
+    U, _, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(U @ Vt))
+    R = U @ np.diag([1.0, 1.0, d]) @ Vt  # src-row @ R ~ dst-row
+    t = dst.mean(0) - src.mean(0) @ R
+    return R.astype(np.float32), t.astype(np.float32)
+
+
 def mask_to_bbox(mask: np.ndarray) -> np.ndarray:
     ys, xs = np.nonzero(mask)
     if len(xs) == 0:
@@ -120,30 +135,32 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
     rows = {"verts": [], "verts2d": [], "rotations": [], "translations": [],
             "mano_pca_pose": [], "mano_rot": [], "mano_trans": [],
             "mano_betas": [], "target_masks": [], "K_roi": [], "masks": []}
+    # Per-side rest pose (loop invariant); jitted forward — eager per-row
+    # dispatch to a remote accelerator costs seconds per call.
+    rest_by_side = {
+        side: np.asarray(mano_lib.mano_forward_jit(
+            mano_layer.params[side], jnp.zeros(10), jnp.zeros(3),
+            jnp.zeros(45))["verts"])
+        for side in set(hand_sides)}
     for t in range(T):
         for h, hand in enumerate(hand_infos):
             side = hand_sides[h]
             hv = np.asarray(hand["verts3d"][t], np.float32)
             if np.abs(hv).sum() == 0:  # no GT: rest-pose init at 0.6m
-                rest = mano_lib.mano_forward(
-                    mano_layer.params[side], jnp.zeros(10), jnp.zeros(3),
-                    jnp.zeros(45))
-                hv = np.asarray(rest["verts"]) + np.array([0, 0, 0.6],
-                                                          np.float32)
-            uv = np.asarray(cam_lib.batch_proj2d(
-                jnp.asarray(hv)[None], jnp.asarray(K_px[t])[None]))[0]
-            # MANO init: zero pose located at the GT centroid. The regressor
-            # initialization of the reference comes from FrankMocap; in the
-            # GT path the joint fit recovers articulation from evidence.
-            rest = mano_lib.mano_forward(mano_layer.params[side],
-                                         jnp.zeros(10), jnp.zeros(3),
-                                         jnp.zeros(45))
+                hv = rest_by_side[side] + np.array([0, 0, 0.6], np.float32)
+            # numpy projection (host math; no device round trip)
+            proj = hv @ np.asarray(K_px[t], np.float32).T
+            uv = proj[:, :2] / np.maximum(proj[:, 2:], 1e-9)
+            # MANO init: zero articulation, global rotation/translation from
+            # Procrustes alignment of the rest hand to the GT vertices (the
+            # reference's FrankMocap init role); articulation is recovered by
+            # the joint fit from keypoint/silhouette evidence.
+            R_init, t_init = procrustes_rigid(rest_by_side[side], hv)
             mano_trans = hv.mean(0) * 0  # local frame at origin
-            translations = hv.mean(0) - np.asarray(rest["verts"]).mean(0)
             rows["verts"].append(hv)
             rows["verts2d"].append(uv.astype(np.float32))
-            rows["rotations"].append(np.eye(3, dtype=np.float32))
-            rows["translations"].append(translations[None].astype(np.float32))
+            rows["rotations"].append(R_init)
+            rows["translations"].append(t_init[None])
             rows["mano_pca_pose"].append(
                 np.zeros(16, np.float32))
             rows["mano_rot"].append(np.zeros(3, np.float32))
