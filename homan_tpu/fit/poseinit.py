@@ -229,6 +229,51 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
     return params, total, iou, history
 
 
+def visualize_optimal_poses(vertices, faces, rotations, translations, losses,
+                            image_crop, mask, K_roi, save_path,
+                            num_vis: int = 8, rend_size: int = 256):
+    """Grid of the best-scoring candidate renders over the crop
+    (homan/pose_optimization.py:163-216)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from homan_tpu.render import RasterSettings, rasterize_hard
+    from homan_tpu.viz.render_viz import composite
+
+    order = np.argsort(np.asarray(losses))[:num_vis]
+    topo = as_topology(faces)
+    R = jnp.asarray(rotations)[order]
+    t = jnp.asarray(translations)[order]
+    verts = jnp.einsum("vj,cjk->cvk", jnp.asarray(vertices), R) + t
+    Kb = jnp.broadcast_to(jnp.asarray(K_roi), (len(order), 3, 3))
+    colors = jnp.tile(jnp.asarray([[0.95, 0.3, 0.25]]),
+                      (topo.faces.shape[0], 1))
+    out = rasterize_hard(verts, topo, Kb, colors,
+                         RasterSettings(image_size=rend_size))
+    fig = plt.figure(figsize=(10, 4))
+    ax = fig.add_subplot(2, 5, 1)
+    if image_crop is not None:
+        ax.imshow(image_crop)
+    ax.set_title("Cropped Image")
+    ax.axis("off")
+    ax = fig.add_subplot(2, 5, 2)
+    ax.imshow(np.asarray(mask))
+    ax.set_title("Mask")
+    ax.axis("off")
+    for i, idx in enumerate(order):
+        ax = fig.add_subplot(2, 5, i + 3)
+        frame = composite(np.asarray(out["rgb"][i]), np.asarray(out["sil"][i]),
+                          image_crop)
+        ax.imshow(frame)
+        ax.set_title(f"Rank {i}: {float(np.asarray(losses)[idx]):.1f}",
+                     fontsize=8)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=90)
+    plt.close(fig)
+    return save_path
+
+
 def find_optimal_poses(
     vertices,
     faces,
