@@ -139,3 +139,15 @@ def test_contact_loss_strict_detects_penetration():
     assert bool(info["repulsion_masks"].any())
     assert float(penetr) > 0.0
     assert float(metrics["max_penetr"]) > 0.0
+
+
+def test_pallas_voxelizer_matches_xla():
+    """Pallas SDF voxelizer (interpret mode on CPU) vs the XLA formulation."""
+    from homan_tpu.interactions.pallas_sdf import voxelize_interior_sdf_pallas
+    v, f = icosphere(2, 0.7)
+    verts = jnp.asarray(v)[None]
+    faces = jnp.asarray(f)
+    phi_xla = voxelize_interior_sdf(verts, faces, grid_size=16)
+    phi_pal = voxelize_interior_sdf_pallas(verts, faces, grid_size=16)
+    np.testing.assert_allclose(np.asarray(phi_pal), np.asarray(phi_xla),
+                               atol=1e-5)
