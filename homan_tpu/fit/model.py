@@ -198,6 +198,13 @@ def get_joints_hand(state: HomanState, consts: HomanConsts, cfg: HomanConfig):
     return out
 
 
+# Jitted getters for host-side (eager) callers — per-op dispatch to a remote
+# accelerator is pathologically slow; cfg is static (frozen dataclass).
+get_verts_object_jit = jax.jit(get_verts_object)
+get_verts_hand_jit = jax.jit(get_verts_hand, static_argnums=(2, 3))
+get_joints_hand_jit = jax.jit(get_joints_hand, static_argnums=(2,))
+
+
 def optimizer_param_labels(cfg: HomanConfig) -> HomanState:
     """Three-group Adam structure of the reference (homan/jointopt.py:128-151):
     'rigid' (lr), 'mano' (lr*10), 'rot' (lr*10), 'frozen' (never updated —

@@ -46,9 +46,9 @@ def post_process(state: M.HomanState, mano_params_by_side: Dict,
         camintr_rois_hand=None, camintr=None,
         mano_params_by_side=mano_params_by_side,
         masks_object=None, masks_hand=None)
-    verts_object, _ = M.get_verts_object(state, consts_min)
-    verts_hand, _ = M.get_verts_hand(state, consts_min, cfg)
-    joints_hand = M.get_joints_hand(state, consts_min, cfg)
+    verts_object, _ = M.get_verts_object_jit(state, consts_min)
+    verts_hand, _ = M.get_verts_hand_jit(state, consts_min, cfg, False)
+    joints_hand = M.get_joints_hand_jit(state, consts_min, cfg)
     return {
         "verts_object": verts_object,
         "verts_hand": verts_hand,

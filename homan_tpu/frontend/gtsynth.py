@@ -152,8 +152,9 @@ def make_synthetic_scene(
     roi_settings = RasterSettings(image_size=rend_size, tile_px=16,
                                   faces_per_tile=min(
                                       512, int(ofaces.shape[0]) + 64))
-    gt_verts_object, _ = M.get_verts_object(gt_state, consts_partial)
-    gt_verts_hand, _ = M.get_verts_hand(gt_state, consts_partial, cfg)
+    gt_verts_object, _ = M.get_verts_object_jit(gt_state, consts_partial)
+    gt_verts_hand, _ = M.get_verts_hand_jit(gt_state, consts_partial, cfg,
+                                            False)
 
     obj_sil = rasterize_soft(gt_verts_object, obj_topo, rois_object,
                              roi_settings)["sil"] > 0.5
