@@ -233,6 +233,28 @@ def main(args):
 
         np.savez(check_path, **postprocess.state_to_dict(final_state))
 
+        # Overlay renders + clip video (fit_vid_dataset.py:403-469 role)
+        try:
+            from homan_tpu.viz.render_viz import (make_video, save_image_grid,
+                                                  visualize_hand_object)
+            frontal, top_down = visualize_hand_object(
+                final_state, consts, cfg,
+                images=annots.get("images"),
+                viz_len=min(5, args.frame_nb), image_size=256)
+            init_frontal, _ = visualize_hand_object(
+                state, consts, cfg, images=annots.get("images"),
+                viz_len=min(5, args.frame_nb), image_size=256)
+            save_image_grid(
+                {"frontal": frontal, "top_down": top_down,
+                 "init": init_frontal},
+                os.path.join(sample_folder, "final_points.png"))
+            make_video([np.concatenate([f, t], axis=1)
+                        for f, t in zip(frontal, top_down)],
+                       os.path.join(sample_folder, "final_points.webm"),
+                       fps=8)
+        except Exception as exc:  # viz failures must not kill fits
+            logger.warning("visualization failed: %s", exc)
+
         # Metrics vs GT when the dataset provides it
         sample_metrics = {}
         fit = postprocess.post_process(

@@ -135,6 +135,26 @@ def visualize_hand_object(state: M.HomanState, consts: M.HomanConsts,
     return frontal, top_down
 
 
+def turntable_frames(verts_list: Sequence[np.ndarray],
+                     faces_list: Sequence[np.ndarray],
+                     color_names: Sequence[str],
+                     K: jnp.ndarray,
+                     n_steps: int = 24,
+                     image_size: int = 256,
+                     axis=(0.0, 1.0, 0.0)) -> List[np.ndarray]:
+    """360-degree turntable of one frame's scene (homan/viz/renderot.py
+    rot_render role)."""
+    frames = []
+    for i in range(n_steps):
+        angle = 360.0 * i / n_steps
+        rotated = [np.stack([rotate_in_place(v, axis=axis, angle_deg=angle)
+                             for v in np.asarray(part[:1])])
+                   for part in verts_list]
+        frames += render_scene(rotated, faces_list, color_names, K[:1],
+                               image_size)
+    return frames
+
+
 def make_video(frames: Sequence[np.ndarray], path: str, fps: int = 24):
     """mp4/webm/gif writer (libyana np2vid + homan/eval/evalviz.py:7-47)."""
     frames = [np.asarray(f) for f in frames]

@@ -127,3 +127,17 @@ def test_ortho_hand_projection_mode():
     assert verts.shape == (2, 778, 3)
     assert np.isfinite(np.asarray(verts)).all()
     assert float(verts[..., 2].mean()) > 0  # placed in front of the camera
+
+
+def test_turntable_frames():
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.viz.render_viz import turntable_frames
+    import jax.numpy as jnp
+    v, f = bumpy_potato(1, 0.1, seed=0)
+    verts = np.asarray(v)[None] + np.asarray([0, 0, 0.5])
+    K = jnp.asarray([[[1.0, 0, 0.5], [0, 1, 0.5], [0, 0, 1]]])
+    frames = turntable_frames([verts], [f], ["gold"], K, n_steps=4,
+                              image_size=64)
+    assert len(frames) == 4
+    # the view changes as it turns
+    assert not np.array_equal(frames[0], frames[2])
