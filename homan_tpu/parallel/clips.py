@@ -43,6 +43,38 @@ def shard_clip_batch(tree, mesh: Mesh, axis: str = "clips"):
     return jax.device_put(tree, sharding)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg", "lw_items", "iters", "lr",
+                                    "settings"))
+def _fit_clips_jit(states, consts, cfg, lw_items, iters, lr, settings):
+    lw = dict(lw_items)
+    optimizer = joint_lib.make_optimizer(cfg, lr)
+
+    def fit_one(state, consts_one):
+        opt_state = optimizer.init(state)
+
+        def total_loss(s):
+            loss_dict, metric_dict = L.compute_all_losses(
+                s, consts_one, cfg, lw, roi_settings=settings)
+            return L.weighted_sum(loss_dict, lw), (loss_dict, metric_dict)
+
+        def step(carry, _):
+            s, o = carry
+            (loss, (loss_dict, metric_dict)), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(s)
+            updates, o = optimizer.update(grads, o, s)
+            s = optax.apply_updates(s, updates)
+            return (s, o), {"loss": loss, **metric_dict}
+
+        (final, _), history = jax.lax.scan(step, (state, opt_state), None,
+                                           length=iters)
+        return final, history
+
+    return jax.vmap(fit_one)(states, consts)
+
+
 def fit_clips_batched(
     states: M.HomanState,          # leading axis = clips
     consts: M.HomanConsts,         # leading axis = clips (replicate as needed)
@@ -58,40 +90,19 @@ def fit_clips_batched(
 
     Every leaf of `states`/`consts` carries a leading clip axis; the per-clip
     joint fit of homan_tpu.fit.joint is vmapped over it and the batch is
-    sharded so each device optimizes its own clips.
+    sharded so each device optimizes its own clips. The compiled program is
+    cached on the static configuration (repeat calls don't recompile).
 
     Returns (final_states, history) with leading clip axes.
     """
     lw = dict(L.DEFAULT_LW)
     if loss_weights:
         lw.update(loss_weights)
-    optimizer = joint_lib.make_optimizer(cfg, lr)
-
-    def fit_one(state, consts_one):
-        opt_state = optimizer.init(state)
-
-        def total_loss(s):
-            loss_dict, metric_dict = L.compute_all_losses(
-                s, consts_one, cfg, lw, roi_settings=roi_settings)
-            return L.weighted_sum(loss_dict, lw), (loss_dict, metric_dict)
-
-        def step(carry, _):
-            s, o = carry
-            (loss, (loss_dict, metric_dict)), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(s)
-            updates, o = optimizer.update(grads, o, s)
-            s = optax.apply_updates(s, updates)
-            return (s, o), {"loss": loss, **metric_dict}
-
-        (final, _), history = jax.lax.scan(step, (state, opt_state), None,
-                                           length=num_iterations)
-        return final, history
-
-    fit = jax.jit(jax.vmap(fit_one))
     if mesh is not None:
         states = shard_clip_batch(states, mesh, axis)
         consts = shard_clip_batch(consts, mesh, axis)
-    return fit(states, consts)
+    return _fit_clips_jit(states, consts, cfg, tuple(sorted(lw.items())),
+                          num_iterations, lr, roi_settings)
 
 
 def stack_clips(items):
