@@ -161,6 +161,19 @@ class HO3D:
                                  "vid_rows": self.vid_rows,
                                  "annotations": self.annotations}, f)
 
+        # Tracked boxes (box_mode="track"): replaces GT-derived boxes with
+        # track_dataset.py output (homan/datasets/ho3d.py:439-468 role).
+        self.tracked_boxes = None
+        if box_mode == "track":
+            boxes_path = os.path.join("data", "boxes",
+                                      f"boxes_ho3d_{split}.pkl")
+            if os.path.exists(boxes_path):
+                with open(boxes_path, "rb") as f:
+                    self.tracked_boxes = pickle.load(f)
+            else:
+                warnings.warn(f"box_mode='track' but {boxes_path} missing; "
+                              "falling back to GT boxes")
+
         self.obj_meshes = load_objects(ycb_root)
         if mode == "chunk":
             self.chunks = chunk_vid_index(self.vid_rows, chunk_size=frame_nb,
@@ -266,6 +279,17 @@ class HO3D:
                 lo, hi = proj.min(0), proj.max(0)
                 obj_info["bbox"] = np.array([lo[0], lo[1], hi[0], hi[1]],
                                             np.float32)
+        # box_mode="track": tracked boxes replace GT-derived ones
+        if self.tracked_boxes is not None and seq in self.tracked_boxes:
+            tracks = self.tracked_boxes[seq]
+            fids = sorted(fi for (s, fi) in self.annotations if s == seq)
+            row = fids.index(frame_idx)
+            if "right_hand" in tracks:
+                hand_info["bbox"] = np.asarray(tracks["right_hand"][row],
+                                               np.float32)
+            if "objects" in tracks:
+                obj_info["bbox"] = np.asarray(tracks["objects"][row],
+                                              np.float32)
         return img, cam, hand_info, obj_info
 
     def __getitem__(self, idx):

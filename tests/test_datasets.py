@@ -170,3 +170,44 @@ def test_epic_track_clip_boxes(tmp_path):
     assert np.isfinite(tracks["objects"]).all()  # gap at frame 3 filled
     roi = square_roi_for_clip(tracks)
     assert roi[2] > 0
+
+
+def test_ho3d_tracked_box_mode(ho3d_tree, tmp_path):
+    """box_mode='track' replaces GT boxes with tracked ones."""
+    import pickle as pk
+    boxes_dir = tmp_path / "data" / "boxes"
+    boxes_dir.mkdir(parents=True)
+    T = 6
+    tracked = {"ABF11": {
+        "right_hand": np.tile([1.0, 2, 3, 4], (T, 1)),
+        "objects": np.tile([5.0, 6, 7, 8], (T, 1)),
+    }}
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        with open("data/boxes/boxes_ho3d_val.pkl", "wb") as f:
+            pk.dump(tracked, f)
+        ds, _ = get_dataset(
+            "ho3d", split="val", frame_nb=3, chunk_step=1, chunk_spacing=2,
+            root=ho3d_tree, ycb_root=os.path.join(ho3d_tree, "ycbmodels"),
+            mano_layer=ManoLayer.synthetic(0), box_mode="track",
+            cache_folder=str(tmp_path / "cache_tb"), load_img=False)
+        sample = ds[0]
+        np.testing.assert_allclose(sample["hands"][0]["bbox"][0],
+                                   [1, 2, 3, 4])
+        np.testing.assert_allclose(sample["objects"][0]["bbox"][0],
+                                   [5, 6, 7, 8])
+    finally:
+        _os.chdir(cwd)
+
+
+def test_stage_timers():
+    from homan_tpu.utils_profiling import StageTimers
+    t = StageTimers()
+    with t.time("a"):
+        sum(range(1000))
+    with t.time("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
