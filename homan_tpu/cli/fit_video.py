@@ -65,6 +65,10 @@ def get_args(argv=None):
     parser.add_argument("--hand_proj_mode", default="persp",
                         choices=["ortho", "persp"])
     parser.add_argument("--rend_size", default=256, type=int)
+    parser.add_argument("--stageb_parallel_frames", choices=[0, 1], default=0,
+                        type=int,
+                        help="batch stage-B frames 1..T-1 in one program "
+                             "(init from frame 0 instead of chaining)")
     parser.add_argument("--mano_root", default="extra_data/mano")
     # Loss weights: the lw_ convention of fit_vid_dataset.py:91-158
     parser.add_argument("--lw_smooth", type=float, default=2000)

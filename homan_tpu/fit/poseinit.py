@@ -168,13 +168,23 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
     while C % chunk:  # largest divisor of C not exceeding candidate_chunk
         chunk -= 1
     n_chunks = C // chunk
-    Kb = jnp.broadcast_to(K_roi, (chunk, 3, 3))
-    ref = jnp.broadcast_to(target_mask[None], (chunk,) + target_mask.shape)
-    keep = jnp.broadcast_to(keep_mask[None], (chunk,) + keep_mask.shape)
-    edtb = jnp.broadcast_to(edt[None], (chunk,) + edt.shape)
 
-    def chunk_loss(params):
-        """Loss over one chunk of candidates: params leaves lead with chunk."""
+    # Evidence may be shared (S, S)/(3, 3) or per-candidate (C, S, S)/(C, 3, 3)
+    # (the parallel-frames mode batches several frames' candidate groups).
+    def _per_candidate(x, nd):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == nd:
+            x = jnp.broadcast_to(x[None], (C,) + x.shape)
+        return x
+
+    ref_c = _per_candidate(target_mask, 2)
+    keep_c = _per_candidate(keep_mask, 2)
+    edt_c = _per_candidate(edt, 2)
+    K_c = _per_candidate(K_roi, 2)
+
+    def chunk_loss(params, ev):
+        """Loss over one chunk of candidates: leaves lead with chunk."""
+        ref, keep, edtb, Kb = ev["ref"], ev["keep"], ev["edt"], ev["K"]
         R = geo.rot6d_to_matrix(params["rot6d"])
         verts = jnp.einsum("vj,cjk->cvk", vertices, R) + params["trans"]
         sil = rasterize_soft(verts, topo, Kb, settings)["sil"]
@@ -205,10 +215,12 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
         return jax.tree_util.tree_map(
             lambda x: x.reshape((C,) + x.shape[2:]), tree)
 
+    evidence = chunked({"ref": ref_c, "keep": keep_c, "edt": edt_c, "K": K_c})
+
     def loss_and_grad(params):
         out = jax.lax.map(
-            lambda p: jax.value_and_grad(chunk_loss, has_aux=True)(p),
-            chunked(params))
+            lambda pe: jax.value_and_grad(chunk_loss, has_aux=True)(*pe),
+            (chunked(params), evidence))
         (_, (total, iou)), grads = out
         return unchunked(total), unchunked(iou), unchunked(grads)
 
@@ -288,6 +300,7 @@ def find_optimal_poses(
     lw_chamfer: float = 0.0,
     prune_to: int | None = None,
     coarse_iterations: int = 35,
+    parallel_frames: bool = False,
 ) -> List[Dict]:
     """Per-frame candidate refinement + best-motion selection
     (homan/pose_optimization.py:386-488).
@@ -305,6 +318,13 @@ def find_optimal_poses(
         -resolution refinement and the remaining frames (candidate indices
         stay aligned across frames so best-motion selection is unchanged).
         None = exact reference behavior (all candidates, full res).
+      parallel_frames: refine frames 1..T-1 in ONE batched program, each
+        initialized from frame 0's refined candidates, instead of chaining
+        frame-to-frame (the reference's sequential init,
+        pose_optimization.py:433-468). Trades the chained initialization for
+        a T-1x reduction of sequential device programs — appropriate for
+        short chunks where the object rotates slowly. Candidate indices stay
+        aligned so best-motion selection is unchanged.
     Returns:
       list of per-frame dicts: rotations (1, 3, 3), translations (1, 1, 3),
       K_roi (1, 3, 3), target_masks, masks, verts, verts_trans — the contract
@@ -316,21 +336,27 @@ def find_optimal_poses(
         settings = RasterSettings(image_size=rend_size)
 
     key = jax.random.PRNGKey(seed)
-    previous_rotations = None
-    all_params = []
-    all_ious = []
-    for frame_i, (annot, K) in enumerate(zip(annotations, Ks)):
+
+    def frame_evidence(annot, K):
         mask = np.asarray(annot["target_crop_mask"])
         ref_mask = jnp.asarray((mask > 0).astype(np.float32))
         keep_mask = jnp.asarray((mask >= 0).astype(np.float32))
         edt = jnp.asarray(reference_edge_edt(mask), jnp.float32)
-
         x, y, b = annot["square_bbox"][:3]
         K_roi_px = cam.get_K_crop_resize(
             jnp.asarray(K, jnp.float32)[None],
             jnp.asarray([[x, y, x + b, y + b]], jnp.float32),
             rend_size)[0]
         K_roi = cam.normalize_K(K_roi_px, rend_size)
+        return mask, ref_mask, keep_mask, edt, K_roi
+
+    previous_rotations = None
+    all_params = []
+    all_ious = []
+    frame_iter = ([(annotations[0], Ks[0])] if parallel_frames
+                  and len(annotations) > 1 else list(zip(annotations, Ks)))
+    for frame_i, (annot, K) in enumerate(frame_iter):
+        mask, ref_mask, keep_mask, edt, K_roi = frame_evidence(annot, K)
 
         if previous_rotations is None:
             rotations = geo.random_rotations(key, num_initializations)
@@ -381,6 +407,49 @@ def find_optimal_poses(
             "history": history,
         })
         all_ious.append(ious)
+
+    if parallel_frames and len(annotations) > 1:
+        # Frames 1..T-1 in one program, all initialized from frame 0's
+        # refined candidates.
+        C = all_params[0]["rotations"].shape[0]
+        rot0 = all_params[0]["rotations"]  # (C, 3, 3)
+        rot6d0 = geo.matrix_to_rot6d(rot0)
+        rotated = jnp.einsum("vj,cjk->cvk", vertices, rot0)
+        rest = list(zip(annotations[1:], Ks[1:]))
+        masks_np, refs, keeps, edts, Krois, transs = [], [], [], [], [], []
+        for annot, K in rest:
+            mask, ref_mask, keep_mask, edt, K_roi = frame_evidence(annot, K)
+            masks_np.append(mask)
+            refs.append(jnp.broadcast_to(ref_mask[None],
+                                         (C,) + ref_mask.shape))
+            keeps.append(jnp.broadcast_to(keep_mask[None],
+                                          (C,) + keep_mask.shape))
+            edts.append(jnp.broadcast_to(edt[None], (C,) + edt.shape))
+            Krois.append(jnp.broadcast_to(K_roi[None], (C, 3, 3)))
+            transs.append(tco_init_from_boxes_autodepth(
+                np.asarray(annot["bbox"], np.float32), rotated,
+                jnp.asarray(K, jnp.float32))[:, None, :])
+        n_rest = len(rest)
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        params, losses, ious, _ = _fit_candidates(
+            vertices, topo, cat(refs), cat(keeps), cat(edts), cat(Krois),
+            jnp.tile(rot6d0, (n_rest, 1, 1)), cat(transs), settings,
+            num_iterations=num_iterations, lw_chamfer=lw_chamfer)
+        rot_final = geo.rot6d_to_matrix(params["rot6d"]).reshape(
+            n_rest, C, 3, 3)
+        trans_final = params["trans"].reshape(n_rest, C, 1, 3)
+        for i, (annot, K) in enumerate(rest):
+            all_params.append({
+                "rotations": rot_final[i],
+                "translations": trans_final[i],
+                "target_masks": jnp.asarray(masks_np[i], jnp.float32),
+                "K_roi": Krois[i][:1],
+                "masks": annot.get("full_mask"),
+                "verts": vertices,
+                "losses": losses.reshape(n_rest, C)[i],
+                "history": None,
+            })
+            all_ious.append(ious.reshape(n_rest, C)[i])
 
     all_ious = jnp.stack(all_ious)  # (T, C)
     best_idx = int(jnp.argmax(all_ious.mean(axis=0)))

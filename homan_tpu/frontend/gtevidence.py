@@ -122,6 +122,7 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
         # then full-res refinement of the best quarter (measured equal-or
         # -better IoU at 2.4x speed vs the flat search).
         prune_to=max(args.num_initializations // 4, 16),
+        parallel_frames=bool(getattr(args, "stageb_parallel_frames", 0)),
         rend_size=rend_size,
         settings=RasterSettings(image_size=rend_size),
         seed=args.seed)

@@ -99,3 +99,46 @@ def test_find_optimal_poses_recovers_pose():
     # Translation should land near the GT translation
     t_err = np.abs(np.asarray(results[0]["translations"])[0, 0] - gt_t[0, 0])
     assert t_err.max() < 0.08, t_err
+
+
+def test_parallel_frames_mode_matches_quality():
+    """parallel_frames=True batches frames 1..T-1; quality must stay close
+    to the chained mode on a slowly-rotating clip."""
+    rng = np.random.RandomState(3)
+    v, f = bumpy_potato(2, 0.09, seed=3)
+    topo = MeshTopology.from_faces(f)
+    verts = jnp.asarray(v)
+    S, img = 64, 128
+    K_px = np.array([[img * 0.9, 0, img / 2], [0, img * 0.9, img / 2],
+                     [0, 0, 1]], np.float32)
+    gt_R = np.asarray(geo.random_rotations(jax.random.PRNGKey(7), 3))
+    gt_t = np.array([[[0.02, -0.01, 0.55]], [[0.03, 0.0, 0.56]],
+                     [[0.04, 0.01, 0.57]]], np.float32)
+    settings = RasterSettings(image_size=S, tile_px=16, faces_per_tile=384,
+                              edges_per_tile=192)
+    annotations = []
+    from homan_tpu.core import camera as cam
+    for i in range(3):
+        verts_t = verts @ jnp.asarray(gt_R[i]) + jnp.asarray(gt_t[i])
+        proj = np.asarray(cam.batch_proj2d(verts_t[None],
+                                           jnp.asarray(K_px)[None]))[0]
+        lo, hi = proj.min(0), proj.max(0)
+        bbox = np.array([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+        b = max(bbox[2], bbox[3]) * 1.3
+        sq = np.array([bbox[0] + bbox[2] / 2 - b / 2,
+                       bbox[1] + bbox[3] / 2 - b / 2, b, b], np.float32)
+        K_roi = cam.normalize_K(cam.get_K_crop_resize(
+            jnp.asarray(K_px)[None],
+            jnp.asarray([[sq[0], sq[1], sq[0] + b, sq[1] + b]]), S)[0], S)
+        sil = rasterize_soft(verts_t[None], topo, K_roi[None],
+                             settings)["sil"][0]
+        annotations.append({
+            "target_crop_mask": (np.asarray(sil) > 0.5).astype(np.float32),
+            "bbox": bbox, "square_bbox": sq, "full_mask": None})
+
+    res = poseinit.find_optimal_poses(
+        verts, topo, annotations, [K_px] * 3, (img, img),
+        num_initializations=48, num_iterations=25, rend_size=S,
+        settings=settings, seed=0, parallel_frames=True)
+    assert len(res) == 3
+    assert res[0]["best_iou"] > 0.7, res[0]["best_iou"]
