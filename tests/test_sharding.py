@@ -48,8 +48,22 @@ def test_fit_clips_batched_sharded_matches_single():
 
 
 def test_dryrun_multichip_contract():
-    import __graft_entry__ as g
-    g.dryrun_multichip(8)
+    """The driver runs this with NO ambient JAX env vars, possibly on a host
+    whose TPU runtime is broken; dryrun_multichip must self-provision the
+    CPU mesh (it re-execs itself in a subprocess with the env forced)."""
+    import os
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH",
+                        "_HOMAN_TPU_DRYRUN_CHILD")}
+    env["PYTHONPATH"] = repo_root
+    subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo_root, check=True)
 
 
 def test_entry_contract_compiles():
