@@ -29,21 +29,37 @@ from homan_tpu.core import mano as mano_lib
 from homan_tpu.core.meshes import load_obj
 from homan_tpu.data.chunking import chunk_vid_index, collate
 
-# Split sequence lists (homan/datasets/ho3dconstants.py). The v2 release
-# names sequences by 2-letter prefix + index.
+# Split sequence lists, matching homan/datasets/ho3dconstants.py membership
+# exactly (the dataset index iterates the split in sorted order, as the
+# reference does at ho3dutils.py:36).
 TRAIN_SEQS = [
-    "ABF11", "ABF12", "ABF13", "ABF14", "BB10", "BB12", "BB13", "BB14",
-    "GPMF10", "GPMF11", "GPMF13", "GPMF14", "GSF10", "GSF11", "GSF12",
-    "GSF13", "GSF14", "MC1", "MC4", "MC5", "MC6", "MDF10", "MDF11", "MDF12",
-    "MDF13", "MDF14", "SB10", "SB12", "ShSu12", "ShSu13", "ShSu14", "SiBF10",
-    "SiBF11", "SiBF12", "SiBF13", "SiBF14", "SM2", "SM3", "SM4", "SM5",
-    "SMu40", "SMu41", "SMu42", "SS1", "SS2", "SS3",
+    "ABF10", "ABF11", "ABF12", "ABF13", "ABF14", "BB10", "BB11", "BB12",
+    "BB13", "BB14", "GPMF10", "GPMF11", "GPMF12", "GPMF13", "GPMF14",
+    "GSF10", "GSF11", "GSF12", "GSF13", "GSF14", "MC1", "MC2", "MC4", "MC5",
+    "MC6", "MDF10", "MDF11", "MDF12", "MDF13", "MDF14", "ND2", "SB10",
+    "SB12", "SB14", "SM2", "SM3", "SM4", "SM5", "SMu1", "SMu40", "SMu41",
+    "SMu42", "SS1", "SS2", "SS3", "ShSu10", "ShSu12", "ShSu13", "ShSu14",
+    "SiBF10", "SiBF11", "SiBF12", "SiBF13", "SiBF14", "SiS1",
 ]
-VAL_SEQS = ["ABF11", "MC2", "SB14", "SM1", "SMu1", "ShSu10"]
-TRAINVAL_SEQS = TRAIN_SEQS
+TRAINVAL_SEQS = [
+    "ABF10", "ABF12", "ABF13", "ABF14", "BB10", "BB11", "BB13", "BB14",
+    "GPMF10", "GPMF11", "GPMF12", "GPMF14", "GSF10", "GSF11", "GSF12",
+    "GSF13", "MC1", "MC2", "MC4", "MC5", "MDF10", "MDF11", "MDF12", "MDF13",
+    "SB10", "SB12", "SB14", "SM2", "SM4", "SM5", "SMu1", "SMu40", "SMu42",
+    "SS1", "SS2", "SS3", "ShSu10", "ShSu12", "ShSu13", "ShSu14", "SiBF10",
+    "SiBF11", "SiBF12", "SiBF13",
+]
+VAL_SEQS = ["ABF11", "BB12", "GPMF13", "GSF14", "MC6", "MDF14", "ND2", "SM3",
+            "SMu41", "SiBF14", "SiS1"]
 TEST_SEQS = ["AP10", "AP11", "AP12", "AP13", "AP14", "MPM10", "MPM11",
-             "MPM12", "MPM13", "MPM14", "SB11", "SB13", "SM1", "SMu1"]
-# Codalab seen/unseen YCB split boundary (evalho3drecons.py:131-147)
+             "MPM12", "MPM13", "MPM14", "SB11", "SB13", "SM1"]
+# Official evaluation ordering (evalho3drecons.py:66-69): seen-object
+# sequences first, then the unseen AP* sequences. The seen/unseen boundary
+# at frame 7694 of this ordering is where AP10 starts.
+EVAL_SEQ_ORDER = ["SM1", "MPM10", "MPM11", "MPM12", "MPM13", "MPM14",
+                  "SB11", "SB13", "AP10", "AP11", "AP12", "AP13", "AP14"]
+# Codalab seen/unseen YCB split boundary (evalho3drecons.py:140-147): frame
+# index within the full interpolated EVAL_SEQ_ORDER frame stream.
 SEEN_UNSEEN_BOUNDARY_IDX = 7694
 
 
@@ -65,7 +81,7 @@ def build_frame_index(seqs: List[str], root: str, subfolder: str):
     (homan/datasets/ho3dutils.py:23-62)."""
     rows = []
     annotations = {}
-    for seq in seqs:
+    for seq in sorted(seqs):
         meta_folder = os.path.join(root, subfolder, seq, "meta")
         if not os.path.isdir(meta_folder):
             warnings.warn(f"missing sequence folder {meta_folder}")
@@ -83,7 +99,7 @@ def build_frame_index(seqs: List[str], root: str, subfolder: str):
                          "obj_id": annot.get("objName", "")})
     # Per-sequence frame counts for chunking
     vid_rows = []
-    for seq in seqs:
+    for seq in sorted(seqs):
         fids = sorted(fi for (s, fi) in annotations if s == seq)
         if fids:
             vid_rows.append({"seq_idx": seq, "frame_nb": len(fids),

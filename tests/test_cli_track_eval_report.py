@@ -75,8 +75,14 @@ def test_track_sequence_with_injected_detector():
     assert np.isfinite(tracks["objects"]).all()
 
 
-def test_eval_ho3d_on_fit_results(tmp_path, monkeypatch):
-    """Full loop: fabricate a fit result + dataset, run the evaluator."""
+def test_eval_ho3d_on_fit_results(tmp_path):
+    """Official-protocol loop (evalho3drecons.py:24-312): fabricate chunked
+    fits over two sequences (one seen, one unseen-AP), interpolate to full
+    rate, check seen/unseen assignment, codalab stream length, and that a
+    perfect linear-motion fit scores zero error at every interpolated frame.
+    """
+    import json
+
     import jax.numpy as jnp
     from homan_tpu.cli.eval_ho3d import evaluate_results
     from homan_tpu.core.mano import ManoLayer
@@ -85,42 +91,94 @@ def test_eval_ho3d_on_fit_results(tmp_path, monkeypatch):
 
     layer = ManoLayer.synthetic(0)
     v, f = bumpy_potato(1, 0.08, seed=0)
-    T = 2
-    cfg = M.HomanConfig(hand_sides=("right",))
-    state = M.init_state(
-        cfg,
-        translations_object=np.tile([[0, 0, 0.5]], (T, 1))[:, None],
-        rotations_object=np.tile(np.eye(3), (T, 1, 1)),
-        translations_hand=np.tile([[0.1, 0, 0.5]], (T, 1))[:, None],
-        rotations_hand=np.tile(np.eye(3), (T, 1, 1)),
-        mano_pca_pose=np.zeros((T, 16)),
-        mano_rot=np.zeros((T, 3)),
-        mano_trans=np.zeros((T, 3)),
-        mano_betas=np.zeros((T, 10)),
-    )
-    sdir = tmp_path / "samples" / "00000000"
-    sdir.mkdir(parents=True)
-    np.savez(sdir / "joint_fit.npz", **postprocess.state_to_dict(state))
+    FULL_T = 6  # full sequence length; chunks only cover frames {0,2,3,5}
+    K = np.eye(3, dtype=np.float32)
 
-    fit = postprocess.post_process(state, {"right": layer.params["right"]},
-                                   jnp.asarray(v), cfg)
+    def full_state(seed):
+        # Linear per-frame motion => chunk->full interpolation is exact.
+        rng = np.random.RandomState(seed)
+        t0, dt = rng.randn(3) * 0.02, rng.randn(3) * 0.01
+        tt = np.arange(FULL_T)[:, None]
+        return M.init_state(
+            M.HomanConfig(hand_sides=("right",)),
+            translations_object=(np.array([[0, 0, 0.5]]) + t0 + tt * dt
+                                 )[:, None],
+            rotations_object=np.tile(np.eye(3), (FULL_T, 1, 1)),
+            translations_hand=(np.array([[0.1, 0, 0.5]]) - t0 + tt * dt
+                               )[:, None],
+            rotations_hand=np.tile(np.eye(3), (FULL_T, 1, 1)),
+            mano_pca_pose=np.zeros((FULL_T, 16)),
+            mano_rot=np.zeros((FULL_T, 3)),
+            mano_trans=np.zeros((FULL_T, 3)),
+            mano_betas=np.zeros((FULL_T, 10)),
+        )
+
+    cfg = M.HomanConfig(hand_sides=("right",))
+    seqs = {"SM1": full_state(0), "AP10": full_state(1)}
+    fits = {s: postprocess.post_process(
+        st, {"right": layer.params["right"]}, jnp.asarray(v), cfg)
+        for s, st in seqs.items()}
+
+    def slice_state(st, idxs):
+        # int_scales_* are (1,) globals; everything else is per-frame
+        return M.HomanState(**{
+            k: np.asarray(val) if np.asarray(val).shape[0] == 1
+            else np.asarray(val)[np.asarray(idxs)]
+            for k, val in vars(st).items()})
+
+    chunks = [("SM1", [0, 2]), ("SM1", [3, 5]),
+              ("AP10", [0, 2]), ("AP10", [3, 5])]
+    for i, (seq, fids) in enumerate(chunks):
+        sdir = tmp_path / "samples" / f"{i:08d}"
+        sdir.mkdir(parents=True)
+        np.savez(sdir / "joint_fit.npz",
+                 **postprocess.state_to_dict(slice_state(seqs[seq], fids)))
 
     class FakeDataset:
+        image_size = 64
+        vid_rows = [{"seq_idx": s, "frame_ids": list(range(FULL_T)),
+                     "frame_nb": FULL_T} for s in seqs]
+
         def __getitem__(self, idx):
+            seq, fids = chunks[idx]
             return {
-                "hands": [{"label": "right_hand",
-                           "verts3d": np.asarray(fit["verts_hand"]),
-                           "joints3d": np.asarray(fit["joints_hand"])[:, :21]}],
-                "objects": [{"canverts3d": v, "faces": f,
-                             "verts3d": np.asarray(fit["verts_object"])}],
+                "seq_idx": seq,
+                "frame_idxs": fids,
+                "hands": [{"label": "right_hand"}],
+                "objects": [{"canverts3d": v, "faces": f}],
+                "camera": {"K": np.tile(K[None], (len(fids), 1, 1))},
             }
 
+        def get_obj_verts_trans(self, seq, fid):
+            return np.asarray(fits[seq]["verts_object"])[fid]
+
+        def get_obj_verts_can(self, seq, fid):
+            return v, f
+
+        def get_joints3d(self, seq, fid):
+            return np.asarray(fits[seq]["joints_hand"])[fid]
+
     summary = evaluate_results(str(tmp_path), FakeDataset(), layer,
-                               dump_codalab=True, report=True)
-    # Perfect "fit": zero errors
-    assert summary["verts_dists_hand"] < 1e-5
-    assert summary["hand_root_err"] < 1e-5
-    assert summary["verts_dists_obj_seen"] < 1e-5
-    assert os.path.exists(tmp_path / "pred.json")
+                               dump_codalab=True, report=True,
+                               render_videos=True,
+                               boundary_idx=FULL_T)  # AP10 frames = unseen
+    # Perfect linear "fit": zero errors at every interpolated frame
+    assert summary["obj_dist"] < 1e-5
+    assert summary["obj_dist_seen"] < 1e-5
+    assert summary["obj_dist_unseen"] < 1e-5
+    assert summary["hand_root"] < 1e-5
+    # Seen/unseen keyed on the full-rate frame counter: 6 frames each
+    with open(tmp_path / "eval_metrics.pkl", "rb") as fh:
+        all_metrics = pickle.load(fh)["all"]
+    assert len(all_metrics["obj_dist_seen"]) == FULL_T
+    assert len(all_metrics["obj_dist_unseen"]) == FULL_T
+    # Codalab stream covers every full-rate frame of both sequences
+    with open(tmp_path / "pred.json") as fh:
+        joints_pred, verts_pred = json.load(fh)
+    assert len(joints_pred) == 2 * FULL_T and len(verts_pred) == 2 * FULL_T
+    assert np.asarray(joints_pred[0]).shape == (21, 3)
     assert os.path.exists(tmp_path / "pred.zip")
     assert os.path.exists(tmp_path / "report.html")
+    assert os.path.exists(tmp_path / "eval_report.html")
+    assert os.path.exists(tmp_path / "test_vids" / "seq_SM1.mp4")
+    assert os.path.exists(tmp_path / "test_vids" / "rot_AP10_000000.mp4")
