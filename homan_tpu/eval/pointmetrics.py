@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 
 from homan_tpu.interactions.contact import batch_pairwise_dist2
-from homan_tpu.interactions.sdf import sdf_scene_loss
 
 
 @jax.jit
@@ -81,17 +80,18 @@ def get_align_metrics(gt_hand: jnp.ndarray, pred_hand: jnp.ndarray,
 def get_inter_metrics(hand_verts: jnp.ndarray, obj_verts: jnp.ndarray,
                       hand_faces, obj_faces, sdf_grid: int = 32) -> Dict:
     """SDF penetration depth + contact indicator
-    (homan/eval/pointmetrics.py:102-124)."""
+    (homan/eval/pointmetrics.py:102-124). Only the object grid is needed
+    (object SDF at hand verts), so only the object is voxelized."""
+    from homan_tpu.interactions.sdf import build_scene_sdfs, sample_scene_sdf
     from homan_tpu.render.rasterizer import MeshTopology
 
     def faces_of(x):
         return x.faces if isinstance(x, MeshTopology) else x
 
-    _, meta = sdf_scene_loss([hand_verts, obj_verts],
-                             [faces_of(hand_faces), faces_of(obj_faces)],
+    grids = build_scene_sdfs([obj_verts], [faces_of(obj_faces)],
                              grid_size=sdf_grid)
-    # Object SDF sampled at hand verts (pair (1, 0)): positive = penetration.
-    pen = meta["dist_values"][(1, 0)]
+    # Object SDF sampled at hand verts: positive = penetration.
+    pen = sample_scene_sdf(grids, 0, hand_verts)
     max_depth = pen.max(axis=1)
     contact = (pen > 0).any(axis=1)
     return {

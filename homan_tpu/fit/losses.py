@@ -190,42 +190,60 @@ def compute_interaction_loss(verts_hand_det, verts_obj, camintr, cfg,
             {"handobj_maxdist": handobj_maxdist})
 
 
+def build_interaction_grids(verts_hand_detscale, verts_obj, faces_obj,
+                            closed_hand_faces, hand_nb: int,
+                            sdf_grid: int = 32):
+    """Voxelize each hand + the object ONCE for all SDF-based terms.
+
+    The reference builds one SDFSceneLoss consumed by both collision and
+    contact (homan/lossutils.py:43-64, 112-130); grids are stop-gradient so
+    sharing them across terms is exact. Layout: [hand_0..hand_{H-1}, object].
+    """
+    hand_verts = [verts_hand_detscale[i::hand_nb] for i in range(hand_nb)]
+    scene_verts = hand_verts + [jax.lax.stop_gradient(verts_obj)]
+    scene_faces = [closed_hand_faces] * hand_nb + [faces_obj]
+    grids = sdf_lib.build_scene_sdfs(scene_verts, scene_faces,
+                                     grid_size=sdf_grid)
+    return grids, hand_verts
+
+
 def compute_collision_loss(verts_hand_detscale, verts_obj_det, faces_obj,
-                           closed_hand_faces, hand_nb: int, sdf_grid: int = 32):
-    """SDF scene penetration (homan/lossutils.py:43-64). Two hands use the
-    flipped closed-fist winding like the reference (:54)."""
-    if hand_nb > 1:
-        flipped = closed_hand_faces[:, ::-1]
-        hand_verts = [verts_hand_detscale[i::hand_nb] for i in range(hand_nb)]
-        loss, _ = sdf_lib.sdf_scene_loss(
-            hand_verts + [verts_obj_det],
-            [flipped] * hand_nb + [faces_obj], grid_size=sdf_grid)
-    else:
-        loss, _ = sdf_lib.sdf_scene_loss(
-            [verts_hand_detscale, verts_obj_det],
-            [closed_hand_faces, faces_obj], grid_size=sdf_grid)
+                           closed_hand_faces, hand_nb: int, sdf_grid: int = 32,
+                           grids=None, hand_verts=None):
+    """SDF scene penetration (homan/lossutils.py:43-64). The reference flips
+    the closed-fist winding for two hands (:54); our voxelizer is
+    winding-invariant so shared grids are identical either way."""
+    if grids is None:
+        grids, hand_verts = build_interaction_grids(
+            verts_hand_detscale, verts_obj_det, faces_obj, closed_hand_faces,
+            hand_nb, sdf_grid)
+    loss, _ = sdf_lib.sdf_penetration_from_grids(
+        hand_verts + [verts_obj_det], grids)
     return {"loss_collision": loss}
 
 
 def compute_contact_loss_term(verts_hand_detscale, verts_obj, faces_obj,
                               closed_hand_faces, hand_nb: int,
-                              sdf_grid: int = 32):
-    """Contact wrapper (homan/lossutils.py:112-130)."""
-    if hand_nb > 1:
-        missed, contact = [], []
-        for h in range(hand_nb):
-            m, c, _, _ = contact_lib.compute_contact_loss(
-                verts_hand_detscale[h::hand_nb], closed_hand_faces,
-                verts_obj, faces_obj, sdf_grid=sdf_grid)
-            missed.append(m)
-            contact.append(c)
-        missed = jnp.stack(missed).mean()
-        contact = jnp.stack(contact).mean()
-    else:
-        missed, contact, _, _ = contact_lib.compute_contact_loss(
-            verts_hand_detscale, closed_hand_faces, verts_obj, faces_obj,
-            sdf_grid=sdf_grid)
-    return {"loss_contact": missed + contact}
+                              sdf_grid: int = 32, grids=None,
+                              hand_verts=None):
+    """Contact wrapper (homan/lossutils.py:112-130). Samples the shared
+    object grid (index -1) at each hand's verts; the sampled values only
+    feed boolean masks, so sharing with collision is exact."""
+    if grids is None:
+        grids, hand_verts = build_interaction_grids(
+            verts_hand_detscale, verts_obj, faces_obj, closed_hand_faces,
+            hand_nb, sdf_grid)
+    obj_idx = len(grids["phis"]) - 1
+    missed_sum, contact_sum = 0.0, 0.0
+    for h in range(hand_nb):
+        obj_sdf_at_hand = sdf_lib.sample_scene_sdf(grids, obj_idx,
+                                                   hand_verts[h])
+        m, c, _, _ = contact_lib.compute_contact_loss(
+            hand_verts[h], closed_hand_faces, verts_obj, faces_obj,
+            sdf_grid=sdf_grid, obj_sdf_at_hand=obj_sdf_at_hand)
+        missed_sum = missed_sum + m
+        contact_sum = contact_sum + c
+    return {"loss_contact": (missed_sum + contact_sum) / hand_nb}
 
 
 def compute_ordinal_depth_loss(masks, silhouettes, depths):
@@ -288,16 +306,25 @@ def compute_all_losses(state: M.HomanState, consts: M.HomanConsts,
     if lw["lw_smooth_hand"] > 0 or lw["lw_smooth_obj"] > 0:
         loss_dict.update(compute_smooth_loss(verts_hand, verts_object,
                                              cfg.hand_nb))
+    if lw["lw_collision"] > 0 or lw["lw_contact"] > 0:
+        # Voxelize every mesh exactly once; both terms sample the shared
+        # stop-gradient grids (the reference shares one SDFSceneLoss,
+        # homan/lossutils.py:43-64, 112-130).
+        assert closed_hand_faces is not None, \
+            "collision/contact need closed MANO faces"
+        grids, grid_hand_verts = build_interaction_grids(
+            verts_hand_detscale, verts_object,
+            _faces_of(consts.faces_object), closed_hand_faces, cfg.hand_nb)
     if lw["lw_collision"] > 0:
-        assert closed_hand_faces is not None, "collision needs closed MANO faces"
         loss_dict.update(compute_collision_loss(
             verts_hand_detscale, jax.lax.stop_gradient(verts_object),
-            _faces_of(consts.faces_object), closed_hand_faces, cfg.hand_nb))
+            _faces_of(consts.faces_object), closed_hand_faces, cfg.hand_nb,
+            grids=grids, hand_verts=grid_hand_verts))
     if lw["lw_contact"] > 0:
-        assert closed_hand_faces is not None, "contact needs closed MANO faces"
         loss_dict.update(compute_contact_loss_term(
             verts_hand_detscale, verts_object, _faces_of(consts.faces_object),
-            closed_hand_faces, cfg.hand_nb))
+            closed_hand_faces, cfg.hand_nb,
+            grids=grids, hand_verts=grid_hand_verts))
     if lw["lw_v2d_hand"] > 0:
         l, m = compute_v2d_loss_hand(verts_hand, consts.camintr,
                                      consts.ref_verts2d_hand, cfg.image_size,

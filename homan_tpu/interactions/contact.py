@@ -19,8 +19,6 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from homan_tpu.interactions.sdf import sdf_scene_loss
-
 
 def batch_pairwise_dist2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Squared pairwise distances (B, N, M) via the matmul expansion.
@@ -56,12 +54,17 @@ def compute_contact_loss(
     contact_zones: str = "all",
     strict_exterior: bool = False,
     sdf_grid: int = 32,
+    obj_sdf_at_hand: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict, Dict]:
     """Attraction of near-surface hand verts + repulsion of penetrating ones.
 
     Args:
       hand_verts: (B, 778, 3); hand_faces: (Fh, 3) closed-fist topology.
       obj_verts: (B, Vo, 3); obj_faces: (Fo, 3).
+      obj_sdf_at_hand: optional precomputed (B, 778) object interior SDF at
+        the hand verts (from sdf.build_scene_sdfs + sample_scene_sdf) — pass
+        it to share voxel grids with the collision term instead of
+        re-voxelizing here.
     Returns:
       (missed_loss, penetr_loss, contact_info, metrics) — the contract of
       contactloss.compute_contact_loss (contactloss.py:149-309).
@@ -69,13 +72,14 @@ def compute_contact_loss(
     d2 = batch_pairwise_dist2(hand_verts, obj_verts)  # (B, 778, Vo)
     mins21 = d2.min(axis=2)  # per hand vert
     min21_idx = d2.argmin(axis=2)
-    mins12 = d2.min(axis=1)  # per object vert (kept for symmetric variant)
-    del mins12
 
-    # Object SDF sampled at hand verts: objects = [hand, obj], pair (1, 0).
-    _, meta = sdf_scene_loss([hand_verts, obj_verts], [hand_faces, obj_faces],
-                             grid_size=sdf_grid)
-    obj_sdf_at_hand = meta["dist_values"][(1, 0)]  # (B, 778), >= 0
+    if obj_sdf_at_hand is None:
+        # Only the object grid is consumed (pair (1, 0): object SDF at hand
+        # verts) — voxelize just the object.
+        from homan_tpu.interactions.sdf import (build_scene_sdfs,
+                                                sample_scene_sdf)
+        grids = build_scene_sdfs([obj_verts], [obj_faces], grid_size=sdf_grid)
+        obj_sdf_at_hand = sample_scene_sdf(grids, 0, hand_verts)  # (B,778)>=0
     if strict_exterior:
         exterior = obj_sdf_at_hand <= 0.0
     else:

@@ -168,27 +168,21 @@ def normalize_to_unit_box(verts: jnp.ndarray, scale_factor: float = 0.2):
     return center, scale
 
 
-def sdf_scene_loss(verts_list, faces_list, grid_size: int = 32,
-                   scale_factor: float = 0.2):
-    """Pairwise SDF penetration loss over a list of objects.
+def build_scene_sdfs(verts_list, faces_list, grid_size: int = 32,
+                     scale_factor: float = 0.2):
+    """Voxelize each mesh ONCE into a normalized interior SDF grid.
 
-    Functional equivalent of SDFSceneLoss.forward (scenesdf.py:77-148):
-    for every ordered pair (i, j), sample object i's interior SDF at object
-    j's vertices; the loss is the sum of all sampled penetrations. Voxel
-    grids carry no gradient; vertices of the sampled object do.
+    Grids carry no gradient (the reference voxelizes under no_grad,
+    scenesdf.py:119-121), so the same grids can be shared by every term that
+    samples them in one optimization step (collision + contact + metrics).
+    Face winding does not matter: the parity inside-test and the unsigned
+    point-triangle distances are winding-invariant, so the reference's
+    flipped-closed-fist faces for two hands (lossutils.py:54) produce the
+    same grid.
 
-    Args:
-      verts_list: list of (B, V_i, 3).
-      faces_list: list of (F_i, 3).
-    Returns:
-      loss (scalar), meta dict with "sdfs" (list of (B,G,G,G)) and
-      "dist_values" {(i, j): (B, V_j)} rescaled to world units.
+    Returns dict {"centers": [(B,1,3)], "scales": [(B,1,1)],
+                  "phis": [(B,G,G,G)]}.
     """
-    n = len(verts_list)
-    assert n == len(faces_list)
-    if n == 1:
-        return jnp.asarray(0.0), {"sdfs": [], "dist_values": {}}
-
     if jax.default_backend() != "cpu":
         # Fused Pallas voxelizer on TPU (~10x the XLA slab formulation);
         # grids are stop-gradient so the forward-only kernel suffices.
@@ -206,15 +200,56 @@ def sdf_scene_loss(verts_list, faces_list, grid_size: int = 32,
         centers.append(center)
         scales.append(scale)
         phis.append(jax.lax.stop_gradient(jnp.maximum(phi, 0.0)))
+    return {"centers": centers, "scales": scales, "phis": phis}
 
+
+def sample_scene_sdf(grids, i: int, verts: jnp.ndarray) -> jnp.ndarray:
+    """Sample mesh i's interior SDF at world-space `verts` (B, N, 3).
+
+    Returns (B, N) world-unit penetration depths (0 outside). Differentiable
+    w.r.t. `verts` through the trilinear weights — the gradient path the
+    reference relies on (scenesdf.py:139-141).
+    """
+    local = (verts - grids["centers"][i]) / grids["scales"][i]
+    vals = grid_sample_3d(grids["phis"][i], local)
+    return vals * grids["scales"][i][..., 0]
+
+
+def sdf_penetration_from_grids(verts_list, grids):
+    """Pairwise penetration loss given prebuilt grids (scenesdf.py:125-148):
+    for every ordered pair (i, j), sample mesh i's SDF at mesh j's verts."""
+    n = len(verts_list)
     loss = jnp.asarray(0.0)
     dist_values = {}
     for i in range(n):
         for j in range(n):
             if i == j:
                 continue
-            local_j = (verts_list[j] - centers[i]) / scales[i]
-            vals = grid_sample_3d(phis[i], local_j)  # (B, V_j)
-            dist_values[(i, j)] = vals * scales[i][..., 0]
-            loss = loss + vals.sum()
-    return loss, {"sdfs": phis, "dist_values": dist_values}
+            vals = sample_scene_sdf(grids, i, verts_list[j])  # world units
+            dist_values[(i, j)] = vals
+            loss = loss + (vals / grids["scales"][i][..., 0]).sum()
+    return loss, dist_values
+
+
+def sdf_scene_loss(verts_list, faces_list, grid_size: int = 32,
+                   scale_factor: float = 0.2):
+    """Pairwise SDF penetration loss over a list of objects.
+
+    Functional equivalent of SDFSceneLoss.forward (scenesdf.py:77-148):
+    build_scene_sdfs + sdf_penetration_from_grids. Voxel grids carry no
+    gradient; vertices of the sampled object do.
+
+    Args:
+      verts_list: list of (B, V_i, 3).
+      faces_list: list of (F_i, 3).
+    Returns:
+      loss (scalar), meta dict with "sdfs" (list of (B,G,G,G)) and
+      "dist_values" {(i, j): (B, V_j)} rescaled to world units.
+    """
+    n = len(verts_list)
+    assert n == len(faces_list)
+    if n == 1:
+        return jnp.asarray(0.0), {"sdfs": [], "dist_values": {}}
+    grids = build_scene_sdfs(verts_list, faces_list, grid_size, scale_factor)
+    loss, dist_values = sdf_penetration_from_grids(verts_list, grids)
+    return loss, {"sdfs": grids["phis"], "dist_values": dist_values}

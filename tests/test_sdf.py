@@ -151,3 +151,36 @@ def test_pallas_voxelizer_matches_xla():
     phi_pal = voxelize_interior_sdf_pallas(verts, faces, grid_size=16)
     np.testing.assert_allclose(np.asarray(phi_pal), np.asarray(phi_xla),
                                atol=1e-5)
+
+
+def test_hoisted_grids_match_standalone_terms():
+    """compute_all_losses' shared-grid collision/contact equal the standalone
+    per-term computations (voxelize-once hoist is exact)."""
+    import jax.numpy as jnp
+
+    from homan_tpu.fit import losses as L
+    from homan_tpu.core.meshes import icosphere
+
+    v, f = icosphere(2, 0.2)
+    f = jnp.asarray(f)
+    B = 3
+    rng = np.random.RandomState(0)
+    hand = jnp.asarray(v)[None] + jnp.asarray(
+        rng.randn(B, 1, 3).astype(np.float32) * 0.05 + [[[0.1, 0, 0]]])
+    obj = jnp.asarray(v)[None] + jnp.zeros((B, 1, 3), np.float32)
+
+    grids, hand_list = L.build_interaction_grids(hand, obj, f, f, hand_nb=1)
+    col_shared = L.compute_collision_loss(
+        hand, jax.lax.stop_gradient(obj), f, f, hand_nb=1,
+        grids=grids, hand_verts=hand_list)
+    con_shared = L.compute_contact_loss_term(
+        hand, obj, f, f, hand_nb=1, grids=grids, hand_verts=hand_list)
+
+    col_solo = L.compute_collision_loss(
+        hand, jax.lax.stop_gradient(obj), f, f, hand_nb=1)
+    con_solo = L.compute_contact_loss_term(hand, obj, f, f, hand_nb=1)
+
+    np.testing.assert_allclose(float(col_shared["loss_collision"]),
+                               float(col_solo["loss_collision"]), rtol=1e-6)
+    np.testing.assert_allclose(float(con_shared["loss_contact"]),
+                               float(con_solo["loss_contact"]), rtol=1e-6)
