@@ -64,6 +64,12 @@ def get_args(argv=None):
                         type=int)
     parser.add_argument("--hand_proj_mode", default="persp",
                         choices=["ortho", "persp"])
+    parser.add_argument("--sdf_mode", default="grid",
+                        choices=["grid", "direct"],
+                        help="collision/contact SDF: 'grid' = reference "
+                             "voxelize+trilinear semantics, 'direct' = exact "
+                             "interior SDF at sampled verts (~3x faster "
+                             "config-3 steps on TPU)")
     parser.add_argument("--rend_size", default=256, type=int)
     parser.add_argument("--stageb_parallel_frames", choices=[0, 1], default=0,
                         type=int,
@@ -91,7 +97,8 @@ def get_args(argv=None):
 
 def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
                        obj_faces, camintr_nc, hand_sides, mano_layer,
-                       image_size, rend_size, masks_shape):
+                       image_size, rend_size, masks_shape,
+                       sdf_mode="grid"):
     """person/object parameter dicts -> (state, consts, cfg)
     (homan/jointopt.py:52-124 role)."""
     import jax.numpy as jnp
@@ -101,7 +108,7 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
     B = len(object_parameters)
     H = len(hand_sides)
     cfg = M.HomanConfig(hand_sides=tuple(hand_sides), image_size=image_size,
-                        rend_size=rend_size)
+                        rend_size=rend_size, sdf_mode=sdf_mode)
 
     obj_trans = np.concatenate([np.asarray(o["translations"])
                                 for o in object_parameters])
@@ -227,7 +234,7 @@ def main(args):
             indep["person_parameters"], indep["object_parameters"],
             indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
             indep["hand_sides"], mano_layer, image_size, args.rend_size,
-            (image_size, image_size))
+            (image_size, image_size), sdf_mode=args.sdf_mode)
         if state_override is not None:
             state = postprocess.state_from_dict(state_override)
 

@@ -246,6 +246,60 @@ def compute_contact_loss_term(verts_hand_detscale, verts_obj, faces_obj,
     return {"loss_contact": (missed_sum + contact_sum) / hand_nb}
 
 
+def compute_interaction_sdf_terms(verts_hand_detscale, verts_obj, faces_obj,
+                                  closed_hand_faces, hand_nb: int,
+                                  with_collision: bool, with_contact: bool,
+                                  sdf_mode: str = "grid", sdf_grid: int = 32):
+    """Gated collision + contact with the SDF work computed exactly once.
+
+    sdf_mode:
+      "grid"   — reference semantics: voxelize each mesh to a 32^3 interior
+                 grid, trilinear-sample (scenesdf.py flow).
+      "direct" — TPU fast path: exact interior distance evaluated only at
+                 the sampled mesh vertices (interactions.sdf.
+                 interior_sdf_at_points) — ~40x less work per step, exact
+                 field instead of a trilinear approximation.
+    """
+    hand_verts = [verts_hand_detscale[i::hand_nb] for i in range(hand_nb)]
+    obj_det = jax.lax.stop_gradient(verts_obj)
+    out = {}
+    if sdf_mode == "direct":
+        if with_collision:
+            scene_verts = hand_verts + [obj_det]
+            scene_faces = [closed_hand_faces] * hand_nb + [faces_obj]
+            loss, meta = sdf_lib.sdf_scene_loss_direct(scene_verts,
+                                                       scene_faces)
+            out["loss_collision"] = loss
+            obj_at_hand = [meta["dist_values"][(hand_nb, h)]
+                           for h in range(hand_nb)]
+        else:
+            obj_at_hand = [sdf_lib.interior_sdf_at_points(hv, obj_det,
+                                                          faces_obj)
+                           for hv in hand_verts]
+    else:
+        assert sdf_mode == "grid", f"unknown sdf_mode {sdf_mode}"
+        grids, _ = build_interaction_grids(
+            verts_hand_detscale, verts_obj, faces_obj, closed_hand_faces,
+            hand_nb, sdf_grid)
+        if with_collision:
+            out.update(compute_collision_loss(
+                verts_hand_detscale, obj_det, faces_obj, closed_hand_faces,
+                hand_nb, sdf_grid, grids=grids, hand_verts=hand_verts))
+        obj_idx = len(grids["phis"]) - 1
+        obj_at_hand = [sdf_lib.sample_scene_sdf(grids, obj_idx, hv)
+                       for hv in hand_verts]
+    if with_contact:
+        missed_sum, contact_sum = 0.0, 0.0
+        for h in range(hand_nb):
+            m, c, _, _ = contact_lib.compute_contact_loss(
+                hand_verts[h], closed_hand_faces, verts_obj, faces_obj,
+                sdf_grid=sdf_grid, obj_sdf_at_hand=obj_at_hand[h])
+            missed_sum = missed_sum + m
+            contact_sum = contact_sum + c
+        out["loss_contact"] = (missed_sum + contact_sum) / hand_nb
+    return out
+
+
 def compute_ordinal_depth_loss(masks, silhouettes, depths):
     """Ordinal depth (homan/lossutils.py:133-169): penalize pixels where the
     GT says object i is in front of j but the render disagrees.
@@ -307,24 +361,16 @@ def compute_all_losses(state: M.HomanState, consts: M.HomanConsts,
         loss_dict.update(compute_smooth_loss(verts_hand, verts_object,
                                              cfg.hand_nb))
     if lw["lw_collision"] > 0 or lw["lw_contact"] > 0:
-        # Voxelize every mesh exactly once; both terms sample the shared
-        # stop-gradient grids (the reference shares one SDFSceneLoss,
-        # homan/lossutils.py:43-64, 112-130).
+        # SDF work computed exactly once for both terms (the reference
+        # shares one SDFSceneLoss, homan/lossutils.py:43-64, 112-130).
         assert closed_hand_faces is not None, \
             "collision/contact need closed MANO faces"
-        grids, grid_hand_verts = build_interaction_grids(
+        loss_dict.update(compute_interaction_sdf_terms(
             verts_hand_detscale, verts_object,
-            _faces_of(consts.faces_object), closed_hand_faces, cfg.hand_nb)
-    if lw["lw_collision"] > 0:
-        loss_dict.update(compute_collision_loss(
-            verts_hand_detscale, jax.lax.stop_gradient(verts_object),
             _faces_of(consts.faces_object), closed_hand_faces, cfg.hand_nb,
-            grids=grids, hand_verts=grid_hand_verts))
-    if lw["lw_contact"] > 0:
-        loss_dict.update(compute_contact_loss_term(
-            verts_hand_detscale, verts_object, _faces_of(consts.faces_object),
-            closed_hand_faces, cfg.hand_nb,
-            grids=grids, hand_verts=grid_hand_verts))
+            with_collision=lw["lw_collision"] > 0,
+            with_contact=lw["lw_contact"] > 0,
+            sdf_mode=cfg.sdf_mode))
     if lw["lw_v2d_hand"] > 0:
         l, m = compute_v2d_loss_hand(verts_hand, consts.camintr,
                                      consts.ref_verts2d_hand, cfg.image_size,

@@ -61,6 +61,9 @@ class HomanConfig:
     hand_proj_mode: str = "persp"  # or "ortho" (homan/homan.py:364-382)
     inter_type: str = "centroid"  # or "min"
     pca_comps: int = 16
+    # "grid" = reference semantics (voxelize + trilinear, scenesdf.py);
+    # "direct" = exact interior SDF at sampled verts only (TPU fast path)
+    sdf_mode: str = "grid"
 
     @property
     def hand_nb(self) -> int:

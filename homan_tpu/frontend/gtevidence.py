@@ -118,10 +118,9 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
         [K_px[t] for t in range(T)], (image_size, image_size),
         num_initializations=args.num_initializations,
         num_iterations=args.num_obj_iterations,
-        # TPU successive halving: coarse low-res search over all candidates,
-        # then full-res refinement of the best quarter (measured equal-or
-        # -better IoU at 2.4x speed vs the flat search).
-        prune_to=max(args.num_initializations // 4, 16),
+        # poseinit's TPU-tuned defaults apply: successive halving to the
+        # best quarter + half-res refinement with full-res rescoring
+        # (measured IoU-neutral, see find_optimal_poses docstring).
         parallel_frames=bool(getattr(args, "stageb_parallel_frames", 0)),
         rend_size=rend_size,
         settings=RasterSettings(image_size=rend_size),

@@ -6,6 +6,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e fits
+
 
 @pytest.fixture(scope="module")
 def ho3d_tree(tmp_path_factory):

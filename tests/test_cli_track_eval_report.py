@@ -75,6 +75,7 @@ def test_track_sequence_with_injected_detector():
     assert np.isfinite(tracks["objects"]).all()
 
 
+@pytest.mark.slow
 def test_eval_ho3d_on_fit_results(tmp_path):
     """Official-protocol loop (evalho3drecons.py:24-312): fabricate chunked
     fits over two sequences (one seen, one unseen-AP), interpolate to full

@@ -12,6 +12,8 @@ from homan_tpu.fit import model as M
 from homan_tpu.fit import losses as L
 from homan_tpu.frontend.gtsynth import make_synthetic_scene
 
+pytestmark = pytest.mark.slow  # heavy e2e fits
+
 
 @pytest.fixture(scope="module")
 def scene():

@@ -1,5 +1,6 @@
 """Stage-B pose initialization tests on synthetic evidence."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +51,7 @@ def test_edge_edt_zero_on_edge():
     assert edt[9, 12] == 0.0  # just outside the rectangle = on pooled edge
 
 
+@pytest.mark.slow
 def test_find_optimal_poses_recovers_pose():
     """500-candidate search on 2 synthetic frames must find a pose whose
     silhouette matches the target well."""
@@ -101,6 +103,7 @@ def test_find_optimal_poses_recovers_pose():
     assert t_err.max() < 0.08, t_err
 
 
+@pytest.mark.slow
 def test_parallel_frames_mode_matches_quality():
     """parallel_frames=True batches frames 1..T-1; quality must stay close
     to the chained mode on a slowly-rotating clip."""
@@ -142,3 +145,48 @@ def test_parallel_frames_mode_matches_quality():
         settings=settings, seed=0, parallel_frames=True)
     assert len(res) == 3
     assert res[0]["best_iou"] > 0.7, res[0]["best_iou"]
+
+
+@pytest.mark.slow
+def test_lowres_refine_with_fullres_rescore_matches_exact():
+    """refine_scale=0.5 + full-res rescoring selects a candidate whose IoU is
+    on par with the exact full-res schedule (the TPU-tuned default)."""
+    v, f = bumpy_potato(2, 0.09, seed=3)
+    topo = MeshTopology.from_faces(f)
+    verts = jnp.asarray(v)
+    S, img = 128, 256
+    K_px = np.array([[img * 0.9, 0, img / 2], [0, img * 0.9, img / 2],
+                     [0, 0, 1]], np.float32)
+    settings = RasterSettings(image_size=S, tile_px=32, faces_per_tile=384,
+                              edges_per_tile=192)
+    gt_R = np.asarray(geo.random_rotations(jax.random.PRNGKey(5), 2))
+    gt_t = np.array([[[0.02, -0.01, 0.55]], [[0.03, 0.0, 0.56]]], np.float32)
+    annotations = []
+    for i in range(2):
+        verts_t = verts @ jnp.asarray(gt_R[i]) + jnp.asarray(gt_t[i])
+        proj = np.asarray(cam.batch_proj2d(verts_t[None],
+                                           jnp.asarray(K_px)[None]))[0]
+        lo, hi = proj.min(0), proj.max(0)
+        bbox = np.array([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+        b = max(bbox[2], bbox[3]) * 1.3
+        sq = np.array([bbox[0] + bbox[2] / 2 - b / 2,
+                       bbox[1] + bbox[3] / 2 - b / 2, b, b], np.float32)
+        K_roi = cam.normalize_K(cam.get_K_crop_resize(
+            jnp.asarray(K_px)[None],
+            jnp.asarray([[sq[0], sq[1], sq[0] + b, sq[1] + b]]), S)[0], S)
+        sil = rasterize_soft(verts_t[None], topo, K_roi[None],
+                             settings)["sil"][0]
+        mask = (np.asarray(sil) > 0.5).astype(np.float32)
+        annotations.append({"target_crop_mask": mask, "bbox": bbox,
+                            "square_bbox": sq, "full_mask": None})
+
+    common = dict(num_initializations=32, num_iterations=15, rend_size=S,
+                  settings=settings, seed=0)
+    fast = poseinit.find_optimal_poses(
+        verts, topo, annotations, [K_px] * 2, (img, img),
+        prune_to="auto", refine_scale=0.5, **common)
+    exact = poseinit.find_optimal_poses(
+        verts, topo, annotations, [K_px] * 2, (img, img),
+        prune_to=None, refine_scale=1.0, **common)
+    assert fast[0]["best_iou"] > exact[0]["best_iou"] - 0.03, (
+        fast[0]["best_iou"], exact[0]["best_iou"])

@@ -184,3 +184,81 @@ def test_hoisted_grids_match_standalone_terms():
                                float(col_solo["loss_collision"]), rtol=1e-6)
     np.testing.assert_allclose(float(con_shared["loss_contact"]),
                                float(con_solo["loss_contact"]), rtol=1e-6)
+
+
+def test_interior_sdf_at_points_matches_analytic():
+    """Direct interior SDF on a sphere: r_sphere - |q| inside, 0 outside."""
+    from homan_tpu.interactions.sdf import interior_sdf_at_points
+    v, f = icosphere(3, 0.8)
+    rng = np.random.RandomState(0)
+    q = rng.uniform(-1, 1, (1, 256, 3)).astype(np.float32)
+    phi = np.asarray(interior_sdf_at_points(
+        jnp.asarray(q), jnp.asarray(v)[None], jnp.asarray(f)))[0]
+    r = np.linalg.norm(q[0], axis=-1)
+    expected = np.maximum(0.8 - r, 0.0)
+    # exact everywhere except the icosphere-vs-sphere discretization shell
+    sel = np.abs(r - 0.8) > 0.05
+    assert np.abs(phi[sel] - expected[sel]).max() < 0.02
+    assert (phi[r > 0.85] == 0).all()
+
+
+def test_interior_sdf_gradient_is_unit_direction():
+    from homan_tpu.interactions.sdf import interior_sdf_at_points
+    v, f = icosphere(3, 0.8)
+    vj, fj = jnp.asarray(v)[None], jnp.asarray(f)
+
+    def phi(q):
+        return interior_sdf_at_points(q[None, None], vj, fj)[0, 0]
+
+    g = np.asarray(jax.grad(phi)(jnp.asarray([0.3, 0.1, -0.2])))
+    q = np.array([0.3, 0.1, -0.2])
+    # For a sphere, grad of (R - |q|) = -q/|q|
+    np.testing.assert_allclose(g, -q / np.linalg.norm(q), atol=0.03)
+
+
+def test_sdf_direct_matches_grid_loss_shape():
+    """Direct scene loss agrees with the grid version within grid resolution
+    and produces the same dist_values structure."""
+    from homan_tpu.interactions.sdf import sdf_scene_loss_direct
+    v, f = icosphere(2, 0.5)
+    f = jnp.asarray(f)
+    a = jnp.asarray(v)[None]
+    b_pen = a + jnp.asarray([0.3, 0.0, 0.0])
+    b_far = a + jnp.asarray([2.0, 0.0, 0.0])
+    loss_g, meta_g = sdf_scene_loss([a, b_pen], [f, f])
+    loss_d, meta_d = sdf_scene_loss_direct([a, b_pen], [f, f])
+    assert meta_d["dist_values"][(0, 1)].shape == (1, v.shape[0])
+    # same order of magnitude; grid blurs near the surface
+    assert 0.5 < float(loss_d) / float(loss_g) < 2.0
+    np.testing.assert_allclose(
+        np.asarray(meta_d["dist_values"][(0, 1)]),
+        np.asarray(meta_g["dist_values"][(0, 1)]), atol=0.06)
+    loss_d_far, _ = sdf_scene_loss_direct([a, b_far], [f, f])
+    assert float(loss_d_far) == 0.0
+
+
+def test_interaction_terms_direct_mode():
+    """compute_interaction_sdf_terms in direct mode: penetrating scene gives
+    positive collision + contact; gradient pushes the hand out."""
+    from homan_tpu.fit import losses as L
+
+    v, f = icosphere(2, 0.2)
+    f = jnp.asarray(f)
+    B = 2
+    obj = jnp.asarray(v)[None] + jnp.zeros((B, 1, 3), np.float32)
+
+    def terms(dx):
+        hand = jnp.asarray(v)[None] + jnp.stack(
+            [dx, jnp.zeros_like(dx), jnp.zeros_like(dx)])[None, None]
+        hand = jnp.tile(hand[0][None], (B, 1, 1))
+        return L.compute_interaction_sdf_terms(
+            hand, obj, f, f, hand_nb=1, with_collision=True,
+            with_contact=True, sdf_mode="direct")
+
+    out = terms(jnp.asarray(0.25))
+    assert float(out["loss_collision"]) > 0.0
+    assert float(out["loss_contact"]) > 0.0
+
+    g = float(jax.grad(lambda dx: terms(dx)["loss_collision"])(
+        jnp.asarray(0.25)))
+    assert g < 0  # moving apart (larger dx) reduces penetration
