@@ -1,15 +1,25 @@
 #!/usr/bin/env python
-"""Headline benchmark: joint hand+object fit, 30-frame clip, 400 Adam iters.
+"""Benchmarks: headline joint fit + stage-B search + full A+B+C pipeline.
 
-North star (BASELINE.md): full clip in < 10 s on one TPU v5e chip. Prints ONE
-JSON line {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
-(10 s / measured): > 1.0 beats the target.
+North star (BASELINE.md): a full clip joint fit in < 10 s on one TPU v5e
+chip. Prints ONE JSON line {"metric", "value", "unit", "vs_baseline",
+"extra"} where vs_baseline is (10 s / headline) — > 1.0 beats the target —
+and "extra" carries the additional workload timings:
 
-The workload mirrors the reference defaults (fit_vid_dataset.py:65-67,
-jointopt.py:29): default loss weights (object silhouette + hand keypoints +
-smoothness + priors + coarse interaction), 256^2 ROI evidence, a ~1.3k-face
-object and a 1.5k-face MANO hand per frame. Evidence is synthesized with the
-gt-masks path, so the benchmark needs no datasets or license-gated files.
+  joint_fit_30f_400it_s   30-frame clip, 400 Adam iters, default losses,
+                          256^2 ROI evidence (the headline; reference
+                          workload shape fit_vid_dataset.py:65-67 +
+                          jointopt.py:29).
+  stageb_500c_50it_10f_s  object pose search: 500 candidates x 50 iters,
+                          10 frames, 256^2 (homan/pose_optimization.py:386-488
+                          workload), TPU-tuned default schedule.
+  pipeline_10f_s          stages A (GT-mask evidence synthesis) + B + C
+                          (201 joint iters, the reference step-1 default)
+                          for one 10-frame clip.
+
+All timings are steady-state (second run; jit caches warm). Evidence is
+synthesized with the gt-masks path, so no datasets or license-gated files
+are needed.
 
 Usage: python bench.py [--preset full|smoke] [--frames N] [--iters N]
 """
@@ -18,6 +28,155 @@ from __future__ import annotations
 import argparse
 import json
 import time
+
+
+def _timed(fn):
+    import jax
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, compile_and_run, out
+
+
+def bench_joint(frames: int, iters: int, rend: int, subdiv: int):
+    """Headline: jitted joint fit (stage C) on a synthetic clip."""
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.frontend.gtsynth import make_synthetic_scene
+    from homan_tpu.fit import joint
+    from homan_tpu.render import RasterSettings
+
+    scene = make_synthetic_scene(
+        seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
+        rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0))
+    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=64)
+
+    def run():
+        final, history = joint.optimize_hand_object(
+            scene.init_state, scene.consts, scene.cfg,
+            num_iterations=iters, roi_settings=settings)
+        return final
+
+    elapsed, compile_s, _ = _timed(run)
+    return elapsed, compile_s
+
+
+def _synthetic_clip_annots(frames: int, image_size: int, subdiv: int):
+    """In-memory clip annotations (hands/objects/camera) for the GT path."""
+    import jax.numpy as jnp
+    import numpy as np
+    from homan_tpu.core import mano as mano_lib
+    from homan_tpu.core.meshes import bumpy_potato
+
+    layer = mano_lib.ManoLayer.synthetic(0)
+    v, f = bumpy_potato(subdiv, 0.08, seed=0)
+    K = np.array([[image_size * 0.9, 0, image_size / 2],
+                  [0, image_size * 0.9, image_size / 2],
+                  [0, 0, 1.0]], np.float32)
+    rest = np.asarray(mano_lib.mano_forward_jit(
+        layer.params["right"], jnp.zeros(10), jnp.zeros(3),
+        jnp.zeros(45))["verts"])
+    hand_verts, obj_verts = [], []
+    for t in range(frames):
+        ang = 0.04 * t
+        Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        obj_verts.append(v @ Rz.T
+                         + np.array([0.02 + 0.002 * t, -0.01, 0.55],
+                                    np.float32))
+        hand_verts.append(rest + np.array([0.1 - 0.002 * t, 0.0, 0.58],
+                                          np.float32))
+    annots = {
+        "frame_idxs": list(range(frames)),
+        "camera": {"K": np.tile(K[None], (frames, 1, 1))},
+        "hands": [{"label": "right_hand",
+                   "verts3d": np.stack(hand_verts)}],
+        "objects": [{"canverts3d": v, "faces": f,
+                     "verts3d": np.stack(obj_verts)}],
+    }
+    return annots, layer, image_size
+
+
+def bench_stageb(frames: int, inits: int, obj_iters: int, rend: int,
+                 subdiv: int):
+    """Stage B alone on synthesized evidence (tuned default schedule)."""
+    import numpy as np
+    from homan_tpu.fit import poseinit
+    from homan_tpu.frontend.evidence import build_object_mask_info
+    from homan_tpu.frontend.gtevidence import mask_to_bbox, render_full_mask
+    from homan_tpu.render import RasterSettings
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    annots, _, image_size = _synthetic_clip_annots(frames, max(2 * rend, 128),
+                                                   subdiv)
+    obj = annots["objects"][0]
+    topo = MeshTopology.from_faces(obj["faces"])
+    masks = render_full_mask(obj["verts3d"], topo, annots["camera"]["K"],
+                             image_size)
+    annotations = []
+    for t in range(frames):
+        info = build_object_mask_info(masks[t], mask_to_bbox(masks[t]),
+                                      None, rend)
+        info["full_mask"] = masks[t].astype(np.float32)
+        annotations.append(info)
+    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=64)
+
+    def run():
+        res = poseinit.find_optimal_poses(
+            obj["canverts3d"], topo, annotations,
+            [annots["camera"]["K"][t] for t in range(frames)],
+            (image_size, image_size), num_initializations=inits,
+            num_iterations=obj_iters, rend_size=rend, settings=settings,
+            seed=0)
+        return res[0]["rotations"]
+
+    elapsed, compile_s, _ = _timed(run)
+    return elapsed, compile_s
+
+
+def bench_pipeline(frames: int, inits: int, obj_iters: int, joint_iters: int,
+                   rend: int, subdiv: int):
+    """Stages A+B+C end to end for one clip (GT-mask evidence path)."""
+    import argparse as ap
+    import numpy as np
+    from homan_tpu.cli.fit_video import build_joint_inputs
+    from homan_tpu.fit import joint
+    from homan_tpu.frontend.gtevidence import prepare_independent_fit
+    from homan_tpu.render import RasterSettings
+
+    annots, layer, image_size = _synthetic_clip_annots(
+        frames, max(2 * rend, 128), subdiv)
+    args = ap.Namespace(num_initializations=inits,
+                        num_obj_iterations=obj_iters, seed=0,
+                        stageb_parallel_frames=0)
+    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=64)
+
+    def run():
+        indep = prepare_independent_fit(annots, args, None, layer,
+                                        image_size, rend_size=rend)
+        camintr_nc = np.asarray(annots["camera"]["K"], np.float64).copy()
+        camintr_nc[:, :2] = camintr_nc[:, :2] / image_size
+        state, consts, cfg = build_joint_inputs(
+            indep["person_parameters"], indep["object_parameters"],
+            indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
+            indep["hand_sides"], layer, image_size, rend,
+            (image_size, image_size))
+        final, _ = joint.optimize_hand_object(
+            state, consts, cfg, num_iterations=joint_iters,
+            roi_settings=settings)
+        return final
+
+    elapsed, compile_s, _ = _timed(run)
+    return elapsed, compile_s
 
 
 def main():
@@ -34,56 +193,39 @@ def main():
         rend = args.rend or 256
         subdiv = 3  # 1280-face object
         baseline_s = 10.0
+        extras_cfg = dict(frames=10, inits=500, obj_iters=50, rend=rend,
+                          subdiv=subdiv)
     else:
         frames = args.frames or 3
         iters = args.iters or 20
         rend = args.rend or 64
         subdiv = 2
         baseline_s = 10.0 * (3 / 30) * (20 / 400)  # scaled target
+        extras_cfg = dict(frames=2, inits=24, obj_iters=5, rend=rend,
+                          subdiv=subdiv)
 
-    import jax
-    from homan_tpu.core.meshes import bumpy_potato
-    from homan_tpu.frontend.gtsynth import make_synthetic_scene
-    from homan_tpu.fit import joint
-    from homan_tpu.render import RasterSettings
+    elapsed, compile_s = bench_joint(frames, iters, rend, subdiv)
+    sb, sb_c = bench_stageb(**extras_cfg)
+    pl, pl_c = bench_pipeline(joint_iters=201 if args.preset == "full" else 5,
+                              **extras_cfg)
 
-    dev = jax.devices()[0]
-    scene = make_synthetic_scene(
-        seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
-        rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0))
-    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
-    settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=64)
-
-    def run(n_iters):
-        final, history = joint.optimize_hand_object(
-            scene.init_state, scene.consts, scene.cfg,
-            num_iterations=n_iters, roi_settings=settings)
-        jax.block_until_ready(final)
-        return history
-
-    # Compile (separate program for a different iteration count would
-    # recompile, so warm up with the real count).
-    t0 = time.perf_counter()
-    run(iters)
-    compile_and_run = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    history = run(iters)
-    elapsed = time.perf_counter() - t0
-
-    iou = float(history["iou_object"][-1])
+    ec = extras_cfg
     result = {
         "metric": f"joint_fit_{frames}f_{iters}it_seconds",
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": round(baseline_s / elapsed, 4),
+        "extra": {
+            f"stageb_{ec['inits']}c_{ec['obj_iters']}it_{ec['frames']}f_s":
+                round(sb, 3),
+            f"pipeline_{ec['frames']}f_s": round(pl, 3),
+            "compile_s": {"joint": round(compile_s, 1),
+                          "stageb": round(sb_c, 1),
+                          "pipeline": round(pl_c, 1)},
+        },
     }
     print(json.dumps(result))
-    # Diagnostics on stderr-adjacent extra lines are avoided: the contract is
-    # ONE json line; stash extras in the line itself? No — keep it clean.
-    return result, {"compile_s": compile_and_run, "device": str(dev),
-                    "final_iou": iou}
+    return result
 
 
 if __name__ == "__main__":

@@ -89,12 +89,71 @@ def square_roi_for_clip(tracks: Dict[str, np.ndarray], margin: float = 0.1,
     return np.array([cx - side / 2, cy - side / 2, side], np.float64)
 
 
+# Noun -> exemplar mesh registry (homan/datasets/epic.py:24-60): candidate
+# paths are relative to `model_root` (the pre-simplified ShapeNet dump, same
+# files as the Core50 registry) except the jug/pitcher, which the reference
+# takes from the processed HO3D YCB pitcher; scale = object diameter in m.
+EPIC_MODELS: Dict[str, Dict] = {
+    "bottle": {"paths": ["d851cbc873de1c4d3b6eb309177a6753.obj"],
+               "scale": 0.2},
+    "jug": {"paths": [
+        "local_data/datasets/ho3dv2/processmodels/019_pitcher_base/"
+        "textured_simple_400.obj"], "scale": 0.25, "absolute": True},
+    "pitcher": {"paths": [
+        "local_data/datasets/ho3dv2/processmodels/019_pitcher_base/"
+        "textured_simple_400.obj"], "scale": 0.25, "absolute": True},
+    "plate": {"paths": ["95ac294f47fd7d87e0b49f27ced29e3.obj"],
+              "scale": 0.3},
+    "cup": {"paths": ["d75af64aa166c24eacbe2257d0988c9c.obj"],
+            "scale": 0.12},
+    "phone": {"paths": ["7ea27ed05044031a6fe19ebe291582.obj"],
+              "scale": 0.07},
+    "can": {"paths": ["3fd8dae962fa3cc726df885e47f82f16.obj"], "scale": 0.2},
+}
+
+
+def load_epic_models(shapenet_registry: Optional[Dict[str, str]] = None,
+                     model_root: str = "local_data/datasets/shapenetmodels",
+                     fallback_sphere: bool = True) -> Dict[str, Dict]:
+    """Noun -> normalized exemplar mesh. Explicit registry wins, then
+    EPIC_MODELS files on disk, then (with a warning-free default) a
+    procedural sphere at the noun's metric scale so the pipeline stays
+    runnable without the ShapeNet dump."""
+    from homan_tpu.core.meshes import icosphere
+    models: Dict[str, Dict] = {}
+
+    def add(noun, verts, faces, scale):
+        verts = normalize_to_inscribed_sphere(verts, scale=scale)
+        models[noun] = {"verts": verts, "faces": np.asarray(faces, np.int32),
+                        "scale": scale}
+
+    for noun, path in (shapenet_registry or {}).items():
+        if os.path.exists(path):
+            verts, faces = load_obj(path)
+            add(noun, verts, faces,
+                EPIC_MODELS.get(noun, {}).get("scale", 0.12))
+    sphere_v, sphere_f = icosphere(3, 1.0)
+    for noun, info in EPIC_MODELS.items():
+        if noun in models:
+            continue
+        cands = [p if info.get("absolute") else os.path.join(model_root, p)
+                 for p in info["paths"]]
+        path = next((p for p in cands if os.path.exists(p)), None)
+        if path is not None:
+            verts, faces = load_obj(path)
+            add(noun, verts, faces, info["scale"])
+        elif fallback_sphere:
+            add(noun, sphere_v, sphere_f, info["scale"])
+    return models
+
+
 class Epic:
     def __init__(self,
                  annotations_path: str = "local_data/datasets/epic/EPIC_100_train.pkl",
                  hoa_root: str = "local_data/datasets/epic/hoa",
                  frames_root: str = "local_data/datasets/epic/frames",
                  shapenet_registry: Optional[Dict[str, str]] = None,
+                 model_root: str = "local_data/datasets/shapenetmodels",
                  nouns=("bottle", "jug", "can", "cup", "phone"),
                  verbs=DEFAULT_VERBS,
                  frame_nb: int = 10,
@@ -111,12 +170,8 @@ class Epic:
         self.hoa_root = hoa_root
         self.frames = TarFrameReader(frames_root) if os.path.isdir(
             frames_root) else None
-        self.models = {}
-        for noun, path in (shapenet_registry or {}).items():
-            if os.path.exists(path):
-                verts, faces = load_obj(path)
-                verts = normalize_to_inscribed_sphere(verts, scale=0.12)
-                self.models[noun] = {"verts": verts, "faces": faces}
+        self.models = load_epic_models(shapenet_registry,
+                                       model_root=model_root)
 
         cache_path = os.path.join(
             cache_folder, f"epic_{'_'.join(sorted(nouns))[:40]}.pkl")

@@ -211,3 +211,67 @@ def test_stage_timers():
         pass
     assert t.counts["a"] == 2
     assert "a" in t.report()
+
+
+def test_core50_object_registry_without_user_registry(core50_tree, tmp_path):
+    """OBJECT_MODELS ships usable exemplars with NO user registry: spheres
+    are procedural, missing ShapeNet files fall back to spheres at the
+    object's metric scale (the reference hard-requires the dump instead)."""
+    ds, _ = get_dataset(
+        "core50", frame_nb=3, chunk_step=1, root=core50_tree,
+        cache_folder=str(tmp_path / "cache_noreg"), load_img=False)
+    # find the chunk for object o23 (a can, OBJECT_MODELS entry)
+    idx = next(i for i, c in enumerate(ds.chunks) if c["object"] == "o23")
+    sample = ds[idx]
+    verts = sample["objects"][0]["canverts3d"]
+    assert verts is not None
+    radius = np.linalg.norm(verts[0], axis=1).max()
+    from homan_tpu.data.core50 import OBJECT_MODELS
+    assert abs(radius - OBJECT_MODELS["o23"]["scale"] / 2) < 1e-3
+
+
+def test_core50_mat_annotation_index(tmp_path):
+    """.mat annotation tree drives bbox/side (core50utils.py:15-112)."""
+    from PIL import Image
+    from scipy.io import savemat
+
+    root = tmp_path / "core50"
+    img = root / "core50_350x350" / "s2" / "o23"
+    annot = root / "core50_350x350_Annot" / "s2" / "o23"
+    img.mkdir(parents=True)
+    annot.mkdir(parents=True)
+    for i in range(3):
+        Image.new("RGB", (350, 350)).save(img / f"C_02_23_{i:03d}.png")
+        savemat(str(annot / f"CropAnnot_02_23_{i:03d}.mat"), {"annot": {
+            "hand": {"root2d": np.array([[10.0 + i, 20.0]]),
+                     "root_depth_png": np.uint8(200), "side": "R"},
+            "object": {"root2d": np.array([[30.0, 40.0]]),
+                       "root_depth_png": np.uint8(180)},
+            "crop": np.array([[5.0, 6.0, 100.0 + i, 110.0]]),
+        }})
+    ds, _ = get_dataset("core50", frame_nb=3, chunk_step=1, root=str(root),
+                        cache_folder=str(tmp_path / "cache"), load_img=False)
+    sample = ds[0]
+    # .mat side overrides the session map (s2 maps to left, annot says R)
+    assert sample["hands"][0]["label"] == "right_hand"
+    assert sample["hands"][0]["bbox"].shape[-1] == 4
+    np.testing.assert_allclose(sample["objects"][0]["bbox"][0],
+                               [5.0, 6.0, 100.0, 110.0])
+
+
+def test_epic_models_registry_defaults(tmp_path):
+    """EPIC noun registry (epic.py:24-60 role) works with no ShapeNet dump
+    (sphere fallback at metric scale) and honors explicit paths."""
+    from homan_tpu.core.meshes import bumpy_potato, save_obj
+    from homan_tpu.data.epic import EPIC_MODELS, load_epic_models
+
+    models = load_epic_models()
+    assert set(models) == set(EPIC_MODELS)
+    r = np.linalg.norm(models["bottle"]["verts"], axis=1).max()
+    assert abs(r - EPIC_MODELS["bottle"]["scale"] / 2) < 1e-3
+
+    v, f = bumpy_potato(1, 1.0, seed=0)
+    p = tmp_path / "cup.obj"
+    save_obj(str(p), v, f)
+    models = load_epic_models({"cup": str(p)})
+    assert models["cup"]["verts"].shape[0] == v.shape[0]
