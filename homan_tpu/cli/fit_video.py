@@ -220,9 +220,17 @@ def main(args):
                 raise SystemExit(
                     "need --gt_masks 1 or --evidence_root (no detector "
                     "networks are bundled)")
-            indep = gtevidence.prepare_independent_fit(
-                annots, args, dataset, mano_layer, image_size,
-                rend_size=args.rend_size, sample_folder=sample_folder)
+            if args.gt_masks:
+                indep = gtevidence.prepare_independent_fit(
+                    annots, args, dataset, mano_layer, image_size,
+                    rend_size=args.rend_size, sample_folder=sample_folder)
+            else:
+                from homan_tpu.frontend import cachedfit
+                indep = cachedfit.prepare_independent_fit_cached(
+                    annots, args, mano_layer, image_size,
+                    rend_size=args.rend_size,
+                    evidence_root=args.evidence_root,
+                    sample_folder=sample_folder)
             state_override = None
             with open(indep_fit_path, "wb") as f:
                 pickle.dump(indep, f)

@@ -57,7 +57,14 @@ class HandPoseProvider(Protocol):
 
 @dataclasses.dataclass
 class CachedEvidence:
-    """Replays per-frame evidence recorded by `save_frame_evidence`."""
+    """Replays per-frame evidence recorded by `save_frame_evidence`.
+
+    Mask queries dispatch on class: entries recorded with "class_id" == -1
+    answer object queries (class_ids == [-1]); every other entry answers
+    hand queries, in the order they were recorded (which must match the
+    clip's hand-side order). Entries without "class_id" are returned for
+    every query (legacy caches).
+    """
     root: str
 
     def _load(self, frame_key: str) -> Dict:
@@ -65,7 +72,11 @@ class CachedEvidence:
             return pickle.load(f)
 
     def masks_from_bboxes(self, frame_key, boxes_xyxy, class_ids):
-        return self._load(frame_key)["masks"]
+        masks = self._load(frame_key)["masks"]
+        if not masks or "class_id" not in masks[0]:
+            return masks
+        want_object = bool(class_ids) and class_ids[0] == -1
+        return [m for m in masks if (m["class_id"] == -1) == want_object]
 
     def regress(self, frame_key, hand_bboxes):
         return self._load(frame_key)["hands"]
@@ -73,6 +84,8 @@ class CachedEvidence:
 
 def save_frame_evidence(root: str, frame_key: str, masks: List[Dict],
                         hands: Dict[str, Dict]):
+    """Record one frame's evidence. `masks` entries should carry
+    "class_id" (-1 = object, 0 = hand) so replay can split the queries."""
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, f"{frame_key}.pkl"), "wb") as f:
         pickle.dump({"masks": masks, "hands": hands}, f)
@@ -154,7 +167,8 @@ def get_frame_infos(images: Sequence[np.ndarray],
       images: frame_nb RGB frames (resized square).
       hand_provider / mask_provider: evidence providers (protocols above).
         CachedEvidence instances receive frame_keys instead of images.
-      hand_bboxes: side -> (4,) square xywh boxes (or None when absent).
+      hand_bboxes: side -> (4,) square xywh boxes, or (frame_nb, 4) per-frame
+        boxes (or None when absent).
       obj_bboxes: (frame_nb, 4) xyxy object boxes.
       camintr: (frame_nb, 3, 3) pixel intrinsics.
     Returns:
@@ -163,11 +177,17 @@ def get_frame_infos(images: Sequence[np.ndarray],
     cached = isinstance(hand_provider, CachedEvidence)
     person_params_frames = []
     obj_infos_frames = []
+
+    def frame_box(b, i):
+        b = np.asarray(b, np.float32)
+        return b[i] if b.ndim == 2 else b
+
     for i, image in enumerate(images):
         key = frame_keys[i] if frame_keys is not None else str(i)
         handle = key if cached else image
 
-        present = {s: b for s, b in hand_bboxes.items() if b is not None}
+        present = {s: frame_box(b, i) for s, b in hand_bboxes.items()
+                   if b is not None}
         hand_estimates = hand_provider.regress(handle, present)
 
         # Hand masks (for occlusion-aware object targets + depth ordering)

@@ -293,8 +293,12 @@ def _contour_data(uv, z, topo: MeshTopology, s: RasterSettings):
     return p0, p1, cross_sign, is_contour, tri_uv, tri_z, f_valid
 
 
+@partial(jax.jit, static_argnames=("settings",))
 def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
                            settings: RasterSettings):
+    # Module-level jit: standalone callers (evidence mask renders, viz) would
+    # otherwise run the prep eagerly op-by-op — seconds per call on a
+    # remote/tunneled TPU. Inside an outer jit this inlines as before.
     from homan_tpu.render.pallas_shade import shade_tiles_pallas
 
     s = settings
