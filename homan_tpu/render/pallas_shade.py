@@ -56,10 +56,8 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
     py = (gy * tile_px + iy + 0.5) * inv_s
     x1 = (gx + 1.0) * tile_px * inv_s
 
+    # Pass 1: winding (needs ALL edges before relevance can be decided).
     winding = anchor_ref[0, 0]
-    d2min = jnp.full((tile_px, tile_px), cap2, jnp.float32)
-    amin = jnp.full((tile_px, tile_px), -1, jnp.int32)
-
     for k in range(ke):
         ax = seg_ref[0, 0, 0, k]
         ay = seg_ref[0, 0, 1, k]
@@ -73,8 +71,22 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
         xi = ax + tt * (bx - ax)
         cross = spans & (xi > px) & (xi <= x1)
         winding = winding + jnp.where(cross, sgn, 0.0)
+    covered = jnp.abs(winding) > 0.5
 
-        # point-segment distance^2
+    # Pass 2: distance to the nearest SILHOUETTE-RELEVANT edge. For covered
+    # pixels only edges across which the winding drops to 0 count (internal
+    # contour edges — winding w <-> w±1 — must not dim interior coverage).
+    # w_other = w - flip*sign(cross2d); flip (packed row 6) is the winding
+    # jump across the directed edge. A pixel exactly on the edge line keeps
+    # the edge (pre-fix behavior).
+    d2min = jnp.full((tile_px, tile_px), cap2, jnp.float32)
+    amin = jnp.full((tile_px, tile_px), -1, jnp.int32)
+    for k in range(ke):
+        ax = seg_ref[0, 0, 0, k]
+        ay = seg_ref[0, 0, 1, k]
+        bx = seg_ref[0, 0, 2, k]
+        by = seg_ref[0, 0, 3, k]
+        flipk = seg_ref[0, 0, 6, k]
         ex = bx - ax
         ey = by - ay
         denom = jnp.maximum(ex * ex + ey * ey, 1e-12)
@@ -82,11 +94,15 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
         dx = px - (ax + tc * ex)
         dyp = py - (ay + tc * ey)
         d2 = dx * dx + dyp * dyp
+
+        cross2d = ex * (py - ay) - ey * (px - ax)
+        w_other = winding - flipk * jnp.sign(cross2d)
+        rel = (jnp.abs(w_other) < 0.5) | (cross2d == 0.0) | ~covered
+        d2 = jnp.where(rel, d2, cap2)
         better = d2 < d2min
         d2min = jnp.where(better, d2, d2min)
         amin = jnp.where(better, k, amin)
 
-    covered = jnp.abs(winding) > 0.5
     signed = jnp.where(covered, d2min, -d2min)
     sil_ref[0, 0] = jax.nn.sigmoid(signed / sigma)
     amin_ref[0, 0] = amin

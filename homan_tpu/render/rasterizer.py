@@ -290,7 +290,7 @@ def _contour_data(uv, z, topo: MeshTopology, s: RasterSettings):
     p0 = seg[:, 0]
     p1 = seg[:, 1]
     cross_sign = jnp.sign(p1[:, 1] - p0[:, 1]) * flip * is_contour
-    return p0, p1, cross_sign, is_contour, tri_uv, tri_z, f_valid
+    return p0, p1, cross_sign, is_contour, flip, tri_uv, tri_z, f_valid
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -312,7 +312,8 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
     def prep(v, k):
         uv, z = project_ndc(v[None], k[None])
         uv, z = uv[0], z[0]
-        p0, p1, cross_sign, is_contour, _, _, _ = _contour_data(uv, z, topo, s)
+        p0, p1, cross_sign, is_contour, flip, _, _, _ = _contour_data(
+            uv, z, topo, s)
 
         # Anchors at tile-column right boundaries, all contour edges.
         x_right = (jnp.arange(g, dtype=jnp.float32) + 1.0) * tp / S
@@ -334,9 +335,12 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
         s0 = jnp.where(e_hit[..., None], p0[e_idx], 99.0)  # (T, Ke, 2)
         s1 = jnp.where(e_hit[..., None], p1[e_idx], 99.0)
         sgn = cross_sign[e_idx] * hitf
+        # row 6: true edge orientation (winding jump across the edge) —
+        # sign(dy)-free so exactly-horizontal contour edges resolve too
+        flip_pack = flip[e_idx] * is_contour[e_idx] * hitf
         seg_pack = jnp.stack(
             [s0[..., 0], s0[..., 1], s1[..., 0], s1[..., 1], sgn, hitf,
-             jnp.zeros_like(sgn), jnp.zeros_like(sgn)], axis=-2)  # (T, 8, Ke)
+             flip_pack, jnp.zeros_like(sgn)], axis=-2)  # (T, 8, Ke)
 
         tile_gx = jnp.arange(g * g) % g
         rows = (jnp.arange(g * g) // g)[:, None] * tp + jnp.arange(tp)[None]
@@ -439,7 +443,21 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
             covered = jnp.abs(winding) > 0.5
 
             d2 = _point_segment_dist2(px_[:, None, :], q0[None], q1[None])
-            d2 = jnp.where(eh[None, :], d2, cap2)
+            # Interior-dimming fix: a covered pixel's distance only counts
+            # edges across which the winding would drop to 0 (the OUTER
+            # silhouette boundary). Internal contour edges (winding w <-> w±1,
+            # both covered) must not pull interior coverage below 1.
+            # w_other = w - flip*sign(cross2d): flip is the winding jump
+            # across the directed edge (front-face traversal orientation).
+            cross2d = ((q1[:, 0] - q0[:, 0])[None] * (pyv - q0[:, 1][None])
+                       - (q1[:, 1] - q0[:, 1])[None]
+                       * (px_[:, 0][:, None] - q0[:, 0][None]))
+            flip_e = (flip[ei] * is_contour[ei] * eh)[None]
+            w_other = winding[:, None] - flip_e * jnp.sign(cross2d)
+            # pixel exactly on the edge line: keep the edge (pre-fix behavior)
+            rel = (jnp.abs(w_other) < 0.5) | (cross2d == 0)
+            rel = rel | ~covered[:, None]
+            d2 = jnp.where(eh[None, :] & rel, d2, cap2)
             d2 = jnp.minimum(d2.min(-1), cap2)
             signed = jnp.where(covered, d2, -d2)
             return jax.nn.sigmoid(signed / s.sigma)

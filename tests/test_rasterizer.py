@@ -161,3 +161,32 @@ def test_roi_intrinsics_shift():
     sil = np.asarray(rasterize_soft(verts, faces, K, SETTINGS)["sil"][0])
     com_x = (sil > 0.5).nonzero()[1].mean() / 64
     assert abs(com_x - 0.25) < 0.03
+
+
+def test_interior_pixels_fully_covered_with_internal_contours():
+    """Pixels near INTERNAL contour edges (self-occlusion, winding 1<->2)
+    must render at full coverage; only the outer silhouette boundary may
+    have a soft band (round-1 interior-dimming bias, NOTES item 4)."""
+    from scipy.ndimage import binary_erosion
+
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    va, fa = icosphere(2, 0.5)
+    vb = va + np.array([0.3, 0.0, 0.4], np.float32)  # behind, overlapping
+    verts = np.concatenate([va + [0, 0, 1.0], vb + [0, 0, 1.0]])
+    faces = np.concatenate([fa, fa + va.shape[0]])
+    topo = MeshTopology.from_faces(faces)
+    K = jnp.asarray(np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]],
+                             np.float32))[None]
+    S = 128
+    for use_pallas in (False, True):
+        settings = RasterSettings(image_size=S, tile_px=32,
+                                  edges_per_tile=192, use_pallas=use_pallas)
+        sil = np.asarray(rasterize_soft(
+            jnp.asarray(verts, jnp.float32)[None], topo, K,
+            settings)["sil"][0])
+        covered = sil > 0.5
+        interior = binary_erosion(covered, iterations=4)
+        assert interior.sum() > 500  # the spheres do fill the frame
+        assert sil[interior].min() >= 0.99, (
+            use_pallas, sil[interior].min())
