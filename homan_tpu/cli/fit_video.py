@@ -246,9 +246,25 @@ def main(args):
         if state_override is not None:
             state = postprocess.state_from_dict(state_override)
 
+        # Periodic optimization snapshots every viz_step iterations
+        # (homan/jointopt.py:158-177 role); frames become an evolution video.
+        optim_frames = []
+
+        def viz_callback(iters_done, s):
+            try:
+                from homan_tpu.viz.render_viz import visualize_hand_object
+                frontal, _ = visualize_hand_object(
+                    s, consts, cfg, images=annots.get("images"),
+                    viz_len=1, image_size=256)
+                optim_frames.append(frontal[0])
+            except Exception as exc:
+                logger.warning("viz_step render failed: %s", exc)
+
         final_state, history = joint.optimize_hand_object(
             state, consts, cfg, loss_weights=loss_weights,
-            num_iterations=args.num_joint_iterations)
+            num_iterations=args.num_joint_iterations,
+            viz_step=args.viz_step if args.viz_step else None,
+            viz_callback=viz_callback if args.viz_step else None)
 
         np.savez(check_path, **postprocess.state_to_dict(final_state))
 
@@ -271,6 +287,10 @@ def main(args):
                         for f, t in zip(frontal, top_down)],
                        os.path.join(sample_folder, "final_points.webm"),
                        fps=8)
+            if optim_frames:  # optimization-evolution video
+                make_video([init_frontal[0]] + optim_frames + [frontal[0]],
+                           os.path.join(sample_folder,
+                                        "optim_evolution.webm"), fps=4)
         except Exception as exc:  # viz failures must not kill fits
             logger.warning("visualization failed: %s", exc)
 

@@ -82,6 +82,8 @@ def optimize_hand_object(
     roi_settings: RasterSettings | None = None,
     raster_schedule=None,
     opt_state=None,
+    viz_step: int | None = None,
+    viz_callback=None,
 ) -> Tuple[M.HomanState, Dict[str, jnp.ndarray]]:
     """Run the joint fit; returns (final_state, loss/metric evolution).
 
@@ -92,6 +94,12 @@ def optimize_hand_object(
     coarse-to-fine silhouette softness — a wide-sigma phase supplies
     long-range gradients, a sharp phase removes residual bias. Overrides
     num_iterations/roi_settings when given. Adam state carries across phases.
+
+    viz_step/viz_callback: when both set, the scan is chunked into viz_step
+    -sized programs (one compile + one remainder compile) and
+    viz_callback(iters_done, state) runs between chunks — the periodic
+    visualization hook of the reference's host loop (jointopt.py:158-177)
+    without per-step host sync.
     """
     lw = dict(L.DEFAULT_LW)
     if loss_weights:
@@ -114,11 +122,23 @@ def optimize_hand_object(
         with_closed = True
 
     histories = []
+    done = 0
     for iters, settings in raster_schedule:
-        state, opt_state, history = _run_phase(
-            state, opt_state, consts, closed, cfg, lw_items, iters, lr,
-            settings, with_closed)
-        histories.append(history)
+        if viz_callback is not None and viz_step and viz_step < iters:
+            chunks = [viz_step] * (iters // viz_step)
+            if iters % viz_step:
+                chunks.append(iters % viz_step)
+        else:
+            chunks = [iters]
+        for chunk in chunks:
+            state, opt_state, history = _run_phase(
+                state, opt_state, consts, closed, cfg, lw_items, chunk, lr,
+                settings, with_closed)
+            histories.append(history)
+            done += chunk
+            if viz_callback is not None and viz_step and done < sum(
+                    it for it, _ in raster_schedule):
+                viz_callback(done, state)
     if len(histories) == 1:
         return state, histories[0]
     merged = {

@@ -51,6 +51,7 @@ def test_fit_video_gt_masks_end_to_end(ho3d_tree, tmp_path, monkeypatch):
         "--num_initializations", "24",
         "--num_obj_iterations", "10",
         "--num_joint_iterations", "15",
+        "--viz_step", "5",
         "--rend_size", "64",
         "--result_root", result_root,
         "--mano_root", str(tmp_path / "no_mano"),
@@ -78,6 +79,8 @@ def test_fit_video_gt_masks_end_to_end(ho3d_tree, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(sample_dir, "indep_fit.pkl"))
     assert os.path.exists(os.path.join(sample_dir, "joint_fit.npz"))
     assert os.path.exists(os.path.join(sample_dir, "results.pkl"))
+    # --viz_step chunks the scan and records an optimization-evolution video
+    assert os.path.exists(os.path.join(sample_dir, "optim_evolution.webm"))
     with open(os.path.join(sample_dir, "results.pkl"), "rb") as f:
         res = pickle.load(f)
     assert "metrics" in res and "losses" in res

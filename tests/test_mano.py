@@ -1,6 +1,9 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from homan_tpu.core import mano
 from homan_tpu.core.geometry import rodrigues
@@ -145,3 +148,58 @@ def test_forward_jits_and_grads():
     g = jax.grad(loss_fn)(jnp.ones((2, 16)) * 0.1)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+MANO_ROOT = os.environ.get("MANO_ROOT", "extra_data/mano")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(MANO_ROOT, "MANO_RIGHT.pkl")),
+    reason="license-gated MANO data not present (set MANO_ROOT)")
+def test_real_mano_pkl_loads_and_runs():
+    """Chumpy-pickle loader + forward on the real MANO_RIGHT.pkl: shapes,
+    scale (hand ~18 cm), finite outputs, PCA entry point."""
+    from homan_tpu.core.mano import ManoLayer, load_mano_params
+
+    params = load_mano_params(os.path.join(MANO_ROOT, "MANO_RIGHT.pkl"))
+    assert params["v_template"].shape == (778, 3)
+    assert params["posedirs"].shape == (778, 3, 135)
+    assert params["J_regressor"].shape == (16, 778)
+    assert params["faces"].shape[1] == 3
+
+    layer = ManoLayer.from_folder(MANO_ROOT)
+    out = layer.forward_pca(jnp.zeros((1, 16)), jnp.zeros((1, 3)),
+                            jnp.zeros((1, 10)), side="right")
+    verts = np.asarray(out["verts"][0])
+    assert np.isfinite(verts).all()
+    extent = verts.max(0) - verts.min(0)
+    assert 0.10 < extent.max() < 0.30  # meters: a real hand
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(MANO_ROOT, "MANO_LEFT.pkl"))
+    or not os.path.exists(os.path.join(MANO_ROOT, "MANO_RIGHT.pkl")),
+    reason="license-gated MANO data not present (set MANO_ROOT)")
+def test_mirror_matches_shipped_left_model():
+    """mirror_mano_params(RIGHT) must reproduce the shipped MANO_LEFT.pkl
+    geometry (the reference builds LEFT from RIGHT with sign masks,
+    homan/manoconv.py:10-55; ours derives the signs from first principles).
+    """
+    from homan_tpu.core.mano import (load_mano_params, mano_forward_jit,
+                                     mirror_mano_params)
+
+    right = load_mano_params(os.path.join(MANO_ROOT, "MANO_RIGHT.pkl"))
+    left = load_mano_params(os.path.join(MANO_ROOT, "MANO_LEFT.pkl"))
+    mirrored = mirror_mano_params(right)
+    np.testing.assert_allclose(np.asarray(mirrored["v_template"]),
+                               np.asarray(left["v_template"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mirrored["hands_mean"]),
+                               np.asarray(left["hands_mean"]), atol=1e-6)
+    # Posed geometry parity on a random articulation
+    rng = np.random.RandomState(0)
+    pose = jnp.asarray(rng.randn(45).astype(np.float32) * 0.2)
+    betas = jnp.asarray(rng.randn(10).astype(np.float32) * 0.5)
+    out_m = mano_forward_jit(mirrored, betas, jnp.zeros(3), pose)
+    out_l = mano_forward_jit(left, betas, jnp.zeros(3), pose)
+    np.testing.assert_allclose(np.asarray(out_m["verts"]),
+                               np.asarray(out_l["verts"]), atol=1e-5)
