@@ -29,10 +29,16 @@ def chunk_vid_index(vid_index, chunk_size: int = 10, chunk_step: int = 2,
     span = chunk_size * chunk_step
     for row in vid_index:
         frame_nb = int(row[frame_nb_key])
-        starts = list(range(0, max(frame_nb - span + 1, 1), chunk_spacing))
-        last_start = frame_nb - span
-        if last_start >= 0 and last_start not in starts:
-            starts.append(last_start)
+        # Exact reference schedule (chunkvids.py:29-37): regular starts every
+        # chunk_spacing, plus an end-of-video chunk whose LAST frame is
+        # frame_nb-1 (start = frame_nb - span + step - 1). Degenerate short
+        # videos (reference would emit negative frame ids) fall back to 0.
+        starts = list(range(0, max(frame_nb - span, 0), chunk_spacing))
+        end_start = frame_nb - span + chunk_step - 1
+        if end_start >= 0 and end_start not in starts:
+            starts.append(end_start)
+        if not starts:
+            starts = [0]
         for start in starts:
             idxs = [start + i * chunk_step for i in range(chunk_size)]
             if idxs[-1] >= frame_nb:

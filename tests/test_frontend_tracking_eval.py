@@ -107,8 +107,9 @@ def test_chunk_vid_index():
                              chunk_spacing=40)
     assert all(len(c["frame_idxs"]) == 10 for c in chunks)
     assert all(max(c["frame_idxs"]) < 100 for c in chunks)
-    # end-of-video chunk present
-    assert any(c["frame_idxs"][-1] == 98 for c in chunks)
+    # end-of-video chunk covers the true last frame (reference schedule:
+    # start = frame_nb - span + step - 1, chunkvids.py:33)
+    assert any(c["frame_idxs"][-1] == 99 for c in chunks)
 
 
 def test_collate():
