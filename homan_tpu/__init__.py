@@ -29,3 +29,30 @@ Layer map:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_jit_cache(path: str | None = None):
+    """Point JAX at a persistent compilation cache.
+
+    First compiles of the big fit programs cost 1-2 minutes on remote TPU
+    runtimes; the cache removes them across processes (measured 16 s -> 2 s
+    on a representative program). Called automatically on import; opt out
+    with HOMAN_TPU_JIT_CACHE=0, redirect by setting it to a path.
+    """
+    import os
+    env = os.environ.get("HOMAN_TPU_JIT_CACHE")
+    if env == "0":
+        return None
+    if path is None:
+        path = env or os.path.join(
+            os.path.expanduser("~"), ".cache", "homan_tpu", "jax")
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without the knobs
+        return None
+    return path
+
+
+_JIT_CACHE_DIR = enable_jit_cache()

@@ -29,7 +29,7 @@ import os
 import pickle
 import zipfile
 from collections import OrderedDict, defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import pickle
-import warnings
 from typing import Dict, List, Optional
 
 import numpy as np

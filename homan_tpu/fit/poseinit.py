@@ -32,7 +32,7 @@ import optax
 from homan_tpu.core import camera as cam
 from homan_tpu.core import geometry as geo
 from homan_tpu.render import RasterSettings, rasterize_soft
-from homan_tpu.render.rasterizer import MeshTopology, as_topology
+from homan_tpu.render.rasterizer import as_topology
 from homan_tpu.fit.losses import batch_mask_iou
 
 RENDER_FAR = 100.0  # NMR renderer default far plane

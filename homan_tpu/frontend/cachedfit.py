@@ -9,12 +9,10 @@ fit_vid_dataset.py:249-319 with real (non-GT) evidence.
 """
 from __future__ import annotations
 
-import os
 from typing import Dict
 
 import numpy as np
 
-from homan_tpu.core import bbox as bbox_ops
 from homan_tpu.fit import poseinit
 from homan_tpu.frontend import masks as mask_lib
 from homan_tpu.frontend.evidence import (CachedEvidence, get_frame_infos,

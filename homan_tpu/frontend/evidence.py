@@ -20,12 +20,11 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-from typing import Callable, Dict, List, Optional, Protocol, Sequence
+from typing import Dict, List, Optional, Protocol, Sequence
 
 import numpy as np
 
 from homan_tpu.core import bbox as bbox_ops
-from homan_tpu.core import camera as cam
 from homan_tpu.frontend import masks as mask_lib
 
 REND_SIZE = mask_lib.REND_SIZE

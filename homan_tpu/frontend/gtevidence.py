@@ -9,15 +9,11 @@ through the standard stage-B search.
 """
 from __future__ import annotations
 
-import os
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp
 
-from homan_tpu.core import bbox as bbox_ops
-from homan_tpu.core import camera as cam_lib
-from homan_tpu.core import geometry as geo
 from homan_tpu.core import mano as mano_lib
 from homan_tpu.fit import poseinit
 from homan_tpu.frontend import masks as mask_lib

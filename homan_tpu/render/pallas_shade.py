@@ -22,7 +22,6 @@ The kernel grid is (B, T); each instance shades one (tp, tp) pixel block.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
