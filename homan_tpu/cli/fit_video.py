@@ -64,12 +64,13 @@ def get_args(argv=None):
                         type=int)
     parser.add_argument("--hand_proj_mode", default="persp",
                         choices=["ortho", "persp"])
-    parser.add_argument("--sdf_mode", default="grid",
+    parser.add_argument("--sdf_mode", default="direct",
                         choices=["grid", "direct"],
-                        help="collision/contact SDF: 'grid' = reference "
-                             "voxelize+trilinear semantics, 'direct' = exact "
-                             "interior SDF at sampled verts (~3x faster "
-                             "config-3 steps on TPU)")
+                        help="collision/contact SDF: 'direct' (default) = "
+                             "exact interior SDF at sampled verts (~3x "
+                             "faster config-3 steps on TPU, identical "
+                             "converged IoU), 'grid' = strict reference "
+                             "voxelize+trilinear semantics")
     parser.add_argument("--rend_size", default=256, type=int)
     parser.add_argument("--stageb_parallel_frames", choices=[0, 1], default=0,
                         type=int,
@@ -98,7 +99,7 @@ def get_args(argv=None):
 def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
                        obj_faces, camintr_nc, hand_sides, mano_layer,
                        image_size, rend_size, masks_shape,
-                       sdf_mode="grid"):
+                       sdf_mode="direct"):
     """person/object parameter dicts -> (state, consts, cfg)
     (homan/jointopt.py:52-124 role)."""
     import jax.numpy as jnp

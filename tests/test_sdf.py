@@ -262,3 +262,26 @@ def test_interaction_terms_direct_mode():
     g = float(jax.grad(lambda dx: terms(dx)["loss_collision"])(
         jnp.asarray(0.25)))
     assert g < 0  # moving apart (larger dx) reduces penetration
+
+
+def test_sdf_mode_default_and_grid_equivalence_of_contact():
+    """Default sdf_mode is 'direct'; the default (reference-quirk) contact
+    term is mode-invariant because its exterior mask never reads the SDF
+    values' sign."""
+    from homan_tpu.fit import losses as L, model as M
+
+    assert M.HomanConfig().sdf_mode == "direct"
+    v, f = icosphere(2, 0.2)
+    f = jnp.asarray(f)
+    B = 2
+    hand = jnp.asarray(v)[None] + jnp.asarray([[[0.15, 0, 0]]]) \
+        + jnp.zeros((B, 1, 3))
+    obj = jnp.asarray(v)[None] + jnp.zeros((B, 1, 3))
+    out_d = L.compute_interaction_sdf_terms(
+        hand, obj, f, f, hand_nb=1, with_collision=False, with_contact=True,
+        sdf_mode="direct")
+    out_g = L.compute_interaction_sdf_terms(
+        hand, obj, f, f, hand_nb=1, with_collision=False, with_contact=True,
+        sdf_mode="grid")
+    np.testing.assert_allclose(float(out_d["loss_contact"]),
+                               float(out_g["loss_contact"]), rtol=1e-5)
