@@ -133,7 +133,7 @@ def _interp_sequence(frames_dict: "OrderedDict[int, Dict]", positions,
 
 
 def _batched_obj_metrics(gt: np.ndarray, pred: np.ndarray,
-                         batch: int = 16):
+                         batch: int = 64):
     """Per-frame object vert distance + ADD-S, batched on device."""
     import jax.numpy as jnp
     from homan_tpu.eval import pointmetrics
@@ -147,7 +147,7 @@ def _batched_obj_metrics(gt: np.ndarray, pred: np.ndarray,
 
 
 def _batched_inter_metrics(hand: np.ndarray, obj: np.ndarray,
-                           hand_faces, obj_faces, batch: int = 16):
+                           hand_faces, obj_faces, batch: int = 64):
     from homan_tpu.eval import pointmetrics
     pen, contact = [], []
     for s in range(0, hand.shape[0], batch):

@@ -4,6 +4,7 @@ set -e
 cd "$(dirname "$0")/.."
 
 echo "== unit + integration tests (virtual 8-device CPU mesh) =="
+# full suite; use -m "not slow" for the ~5-minute quick subset
 python -m pytest tests/ -x -q
 
 echo "== driver contracts on the virtual mesh =="
