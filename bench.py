@@ -141,6 +141,41 @@ def bench_stageb(frames: int, inits: int, obj_iters: int, rend: int,
     return elapsed, compile_s
 
 
+def bench_multiclip(n_clips: int, frames: int, iters: int, rend: int,
+                    subdiv: int):
+    """Throughput: N independent clips vmapped + sharded in one program
+    (parallel/clips.py — the multi-chip production layout, here on 1 chip).
+    """
+    import jax
+    from homan_tpu.core.mano import ManoLayer
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.frontend.gtsynth import make_synthetic_scene
+    from homan_tpu.parallel import clips as par
+    from homan_tpu.render import RasterSettings
+
+    layer = ManoLayer.synthetic(0)
+    obj_mesh = bumpy_potato(subdiv, 0.08, seed=0)
+    scenes = [make_synthetic_scene(seed=i, frame_nb=frames,
+                                   image_size=max(2 * rend, 128),
+                                   rend_size=rend, mano_layer=layer,
+                                   obj_mesh=obj_mesh)
+              for i in range(n_clips)]
+    states = par.stack_clips([s.init_state for s in scenes])
+    consts = par.stack_clips([s.consts for s in scenes])
+    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=64)
+
+    def run():
+        final, _ = par.fit_clips_batched(
+            states, consts, scenes[0].cfg, num_iterations=iters,
+            roi_settings=settings)
+        return final
+
+    elapsed, compile_s, _ = _timed(run)
+    return elapsed, compile_s
+
+
 def bench_pipeline(frames: int, inits: int, obj_iters: int, joint_iters: int,
                    rend: int, subdiv: int):
     """Stages A+B+C end to end for one clip (GT-mask evidence path)."""
@@ -208,6 +243,10 @@ def main():
     sb, sb_c = bench_stageb(**extras_cfg)
     pl, pl_c = bench_pipeline(joint_iters=201 if args.preset == "full" else 5,
                               **extras_cfg)
+    n_clips = 4 if args.preset == "full" else 2
+    mc, mc_c = bench_multiclip(n_clips, extras_cfg["frames"],
+                               iters if args.preset == "full" else 5,
+                               extras_cfg["rend"], extras_cfg["subdiv"])
 
     ec = extras_cfg
     result = {
@@ -219,9 +258,11 @@ def main():
             f"stageb_{ec['inits']}c_{ec['obj_iters']}it_{ec['frames']}f_s":
                 round(sb, 3),
             f"pipeline_{ec['frames']}f_s": round(pl, 3),
+            f"multiclip_{n_clips}x{ec['frames']}f_s": round(mc, 3),
             "compile_s": {"joint": round(compile_s, 1),
                           "stageb": round(sb_c, 1),
-                          "pipeline": round(pl_c, 1)},
+                          "pipeline": round(pl_c, 1),
+                          "multiclip": round(mc_c, 1)},
         },
     }
     print(json.dumps(result))
