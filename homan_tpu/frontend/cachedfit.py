@@ -51,6 +51,29 @@ def prepare_independent_fit_cached(annots: Dict, args, mano_layer,
     if obj_bboxes.ndim == 1:
         obj_bboxes = np.tile(obj_bboxes[None], (T, 1))
 
+    # Tight per-frame boxes from the cached detection masks when they are
+    # class-tagged: the reference's boxes come from the detections
+    # themselves (PointRend / 100DOH); dataset boxes can be coarse union
+    # crops (e.g. Core50's .mat hand+object crop), which would mis-scale the
+    # stage-B auto-depth init.
+    from homan_tpu.frontend.gtevidence import mask_to_bbox
+    sides = [h["label"] for h in annots["hands"]]
+    tight_hand = {s: [] for s in sides}
+    tight_obj = []
+    for key in keys:
+        obj_m = cache.masks_from_bboxes(key, None, [-1])
+        hand_m = cache.masks_from_bboxes(key, None, [0])
+        tight_obj.append(mask_to_bbox(obj_m[0]["full_mask"])
+                         if obj_m and "class_id" in obj_m[0] else None)
+        for s, m in zip(sides, hand_m if hand_m else []):
+            if "class_id" in m:
+                tight_hand[s].append(mask_to_bbox(m["full_mask"]))
+    if all(b is not None for b in tight_obj):
+        obj_bboxes = np.stack(tight_obj)
+    for s in sides:
+        if len(tight_hand[s]) == T:
+            hand_bboxes[s] = np.stack(tight_hand[s])
+
     person_frames, obj_infos = get_frame_infos(
         images=[None] * T, hand_provider=cache, mask_provider=cache,
         hand_bboxes=hand_bboxes, obj_bboxes=obj_bboxes, camintr=K_px,

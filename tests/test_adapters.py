@@ -253,3 +253,113 @@ def test_fit_video_evidence_root_end_to_end(tmp_path, monkeypatch):
     # stage B found the object from cached masks: silhouette IoU is high
     ious = np.asarray(res["losses"]["iou_object"])
     assert ious[-1] > 0.6, ious
+
+
+@pytest.mark.slow
+def test_fit_video_core50_evidence_root(tmp_path, monkeypatch):
+    """Core50 end to end THROUGH the real dataset class: .mat-annotated
+    tree (bbox + side), shipped sphere exemplar (no ShapeNet dump, no user
+    registry), cached detector evidence driving stages A+B+C."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from scipy.io import savemat
+    import torch
+
+    from homan_tpu.cli import fit_video
+    from homan_tpu.core import mano as mano_lib
+    from homan_tpu.data.core50 import Core50
+    from homan_tpu.frontend.adapters import record_cached_evidence
+    from homan_tpu.frontend.cachedfit import frame_key
+    from homan_tpu.frontend.gtevidence import (mask_to_bbox, procrustes_rigid,
+                                               render_full_mask)
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    monkeypatch.chdir(tmp_path)
+    T = 3
+    image_size = 350
+    # ---- fabricate the dataset tree: s2/o31 (ball; annot says Right) ----
+    root = tmp_path / "core50"
+    img_dir = root / "core50_350x350" / "s2" / "o31"
+    annot_dir = root / "core50_350x350_Annot" / "s2" / "o31"
+    img_dir.mkdir(parents=True)
+    annot_dir.mkdir(parents=True)
+    for i in range(T):
+        Image.new("RGB", (350, 350)).save(img_dir / f"C_02_31_{i:03d}.png")
+        savemat(str(annot_dir / f"CropAnnot_02_31_{i:03d}.mat"), {"annot": {
+            "hand": {"root2d": np.array([[180.0, 170.0]]),
+                     "root_depth_png": np.uint8(200), "side": "R"},
+            "object": {"root2d": np.array([[175.0, 175.0]]),
+                       "root_depth_png": np.uint8(190)},
+            "crop": np.array([[120.0, 120.0, 240.0, 240.0]]),
+        }})
+
+    ds = Core50(root=str(root), frame_nb=T, chunk_step=1,
+                cache_folder=str(tmp_path / "cache"), load_img=False)
+    annots = ds[0]
+    assert annots["hands"][0]["label"] == "right_hand"  # .mat override
+    obj_verts_can = annots["objects"][0]["canverts3d"][0]
+    obj_faces = annots["objects"][0]["faces"][0]
+    K = annots["camera"]["K"][0]
+
+    # ---- synthesize "detections" consistent with a plausible scene ----
+    layer = mano_lib.ManoLayer.synthetic(0)
+    rest = np.asarray(mano_lib.mano_forward_jit(
+        layer.params["right"], jnp.zeros(10), jnp.zeros(3),
+        jnp.zeros(45))["verts"])
+    obj_topo = MeshTopology.from_faces(obj_faces)
+    hand_topo = MeshTopology.from_faces(np.asarray(layer.faces("right")))
+    obj_verts = np.stack([obj_verts_can + np.array([0.01, 0.0, 0.4],
+                                                   np.float32)] * T)
+    hand_verts = np.stack([rest + np.array([0.06, 0.0, 0.42], np.float32)]
+                          * T)
+    obj_masks = render_full_mask(obj_verts, obj_topo,
+                                 np.tile(K[None], (T, 1, 1)), image_size)
+    hand_masks = render_full_mask(hand_verts, hand_topo,
+                                  np.tile(K[None], (T, 1, 1)), image_size)
+    ev_root = str(tmp_path / "evidence")
+    for t in range(T):
+        hv = hand_verts[t]
+        proj = hv @ np.asarray(K, np.float32).T
+        uv = (proj[:, :2] / proj[:, 2:]).astype(np.float32)
+        R_init, t_init = procrustes_rigid(rest, hv)
+        person = {
+            "bboxes": torch.from_numpy(mask_to_bbox(hand_masks[t])[None]),
+            "cams": torch.zeros(1, 3),
+            "verts": torch.from_numpy(hv[None]),
+            "verts2d": torch.from_numpy(uv[None]),
+            "rotations": torch.from_numpy(R_init[None]),
+            "translations": torch.from_numpy(t_init[None, None]),
+            "mano_pca_pose": torch.zeros(1, 16),
+            "mano_rot": torch.zeros(1, 3),
+            "mano_trans": torch.zeros(1, 3),
+            "mano_betas": torch.zeros(1, 10),
+            "masks": torch.from_numpy(hand_masks[t][None]),
+            "hand_side": ["right_hand"],
+        }
+        record_cached_evidence(ev_root, frame_key(annots["seq_idx"], t),
+                               person, obj_masks[t])
+
+    import homan_tpu.data.factory as factory
+    monkeypatch.setattr(factory, "get_dataset",
+                        lambda name, **kw: (ds, 350))
+    monkeypatch.setattr("homan_tpu.cli.fit_video.get_dataset",
+                        lambda name, **kw: (ds, 350), raising=False)
+
+    result_root = str(tmp_path / "results")
+    args = fit_video.get_args([
+        "--dataset", "core50",
+        "--evidence_root", ev_root,
+        "--frame_nb", str(T), "--data_step", "1",
+        "--num_initializations", "24", "--num_obj_iterations", "10",
+        "--num_joint_iterations", "10", "--rend_size", "64",
+        "--result_root", result_root,
+        "--mano_root", str(tmp_path / "no_mano"),
+    ])
+    fit_video.main(args)
+    sample_dir = os.path.join(result_root, "samples", "00000000")
+    assert os.path.exists(os.path.join(sample_dir, "joint_fit.npz"))
+    with open(os.path.join(sample_dir, "results.pkl"), "rb") as fh:
+        res = pickle.load(fh)
+    ious = np.asarray(res["losses"]["iou_object"])
+    assert np.isfinite(ious).all()
+    assert ious[-1] > 0.5, ious
