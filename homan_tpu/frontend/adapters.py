@@ -173,3 +173,27 @@ def convert_indep_fit(indep: Dict) -> Dict:
         "obj_faces": obj_faces.astype(np.int32),
         "hand_sides": hand_sides,
     }
+
+
+STATE_KEYS = ("translations_object", "rotations_object", "translations_hand",
+              "rotations_hand", "mano_pca_pose", "mano_rot", "mano_trans",
+              "mano_betas", "int_scales_object", "int_scales_hand",
+              "cams_hand")
+
+
+def convert_joint_fit_state(state_dict: Dict) -> Dict[str, np.ndarray]:
+    """Reference joint_fit.pt state_dict -> homan_tpu checkpoint dict.
+
+    The reference's nn.Parameter names (homan/homan.py:66-131) match
+    HomanState's fields one to one (rotations stored as rot6d (B, 3, 2));
+    buffers (masks, intrinsics, mano model tables) are dropped — they are
+    rebuilt from the dataset/evidence on load.
+    """
+    out = {}
+    for k in STATE_KEYS:
+        if k in state_dict:
+            out[k] = _np(state_dict[k]).astype(np.float32)
+    for k in ("int_scales_object", "int_scales_hand"):
+        if k in out:
+            out[k] = out[k].reshape(-1)[:1]
+    return out

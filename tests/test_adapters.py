@@ -363,3 +363,96 @@ def test_fit_video_core50_evidence_root(tmp_path, monkeypatch):
     ious = np.asarray(res["losses"]["iou_object"])
     assert np.isfinite(ious).all()
     assert ious[-1] > 0.5, ious
+
+
+def test_convert_reference_tree_and_resume(tmp_path, monkeypatch):
+    """cli.convert_reference turns a reference results tree (torch
+    indep_fit.pkl + joint_fit.pt) into homan_tpu layout; fit_video --resume
+    continues the converted joint fit."""
+    import torch
+    from homan_tpu.cli import convert_reference, fit_video
+    from homan_tpu.core.meshes import bumpy_potato
+
+    monkeypatch.chdir(tmp_path)
+    T, R = 2, 64  # rend 64 = the smallest tile-aligned ROI
+    v, f = bumpy_potato(1, 0.08, seed=0)
+    src = tmp_path / "ref_results"
+    sdir = src / "samples" / "00000000"
+    sdir.mkdir(parents=True)
+
+    person_frames = []
+    for t in range(T):
+        p = make_reference_person_params(n_hands=1, seed=t, image_size=64)
+        p["target_masks"] = torch.rand(1, R, R)
+        p["K_roi"] = torch.eye(3)[None]
+        person_frames.append(p)
+    ref_indep = {
+        "person_parameters": person_frames,
+        "object_parameters": [{
+            "rotations": torch.eye(3)[None],
+            "translations": torch.tensor([[[0.0, 0.0, 0.5]]]),
+            "target_masks": torch.rand(R, R),
+            "K_roi": torch.eye(3)[None],
+            "masks": torch.zeros(64, 64),
+        } for _ in range(T)],
+        "obj_verts_can": torch.from_numpy(v),
+        "obj_faces": torch.from_numpy(f),
+        "super2d_img_path": "unused.png",
+    }
+    with open(sdir / "indep_fit.pkl", "wb") as fh:
+        pickle.dump(ref_indep, fh)
+    state_dict = {
+        "translations_object": torch.rand(T, 1, 3) + torch.tensor([0, 0, 1.0]),
+        "rotations_object": torch.eye(3)[:, :2].repeat(T, 1, 1),
+        "translations_hand": torch.rand(T, 1, 3),
+        "rotations_hand": torch.eye(3)[:, :2].repeat(T, 1, 1),
+        "mano_pca_pose": torch.zeros(T, 16),
+        "mano_rot": torch.zeros(T, 3),
+        "mano_trans": torch.zeros(T, 3),
+        "mano_betas": torch.zeros(T, 10),
+        "int_scales_object": torch.ones(1),
+        "int_scales_hand": torch.ones(1),
+        "verts_object_og": torch.zeros(5, 3),  # buffer: must be dropped
+    }
+    torch.save({"state_dict": state_dict}, sdir / "joint_fit.pt")
+
+    dst = tmp_path / "converted"
+    convert_reference.main(convert_reference.get_args(
+        ["--src", str(src), "--dst", str(dst)]))
+    assert (dst / "samples" / "00000000" / "indep_fit.pkl").exists()
+    ck = np.load(dst / "samples" / "00000000" / "joint_fit.npz")
+    assert "verts_object_og" not in ck.files
+    np.testing.assert_allclose(ck["translations_object"],
+                               np.asarray(state_dict["translations_object"]))
+
+    # Resume the converted fit through the driver (2 more iterations)
+    class FakeDataset:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, idx):
+            return {"seq_idx": "ref", "frame_idxs": list(range(T)),
+                    "images": [None] * T,
+                    "hands": [{"label": "left_hand"}],
+                    "objects": [{"canverts3d": v, "faces": f}],
+                    "camera": {"K": np.tile(np.eye(3, dtype=np.float64)[None],
+                                            (T, 1, 1)) * 64},
+                    "setup": {"left_hand": 1, "objects": 1}}
+
+    import homan_tpu.data.factory as factory
+    monkeypatch.setattr(factory, "get_dataset",
+                        lambda name, **kw: (FakeDataset(), 64))
+    monkeypatch.setattr("homan_tpu.cli.fit_video.get_dataset",
+                        lambda name, **kw: (FakeDataset(), 64),
+                        raising=False)
+    result_root = str(tmp_path / "resumed")
+    args = fit_video.get_args([
+        "--dataset", "ho3d", "--resume", str(dst),
+        "--frame_nb", str(T), "--data_step", "1",
+        "--num_joint_iterations", "2", "--rend_size", str(R),
+        "--result_root", result_root,
+        "--mano_root", str(tmp_path / "no_mano"),
+    ])
+    fit_video.main(args)
+    assert os.path.exists(os.path.join(result_root, "samples", "00000000",
+                                       "joint_fit.npz"))
