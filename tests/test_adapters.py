@@ -456,3 +456,127 @@ def test_convert_reference_tree_and_resume(tmp_path, monkeypatch):
     fit_video.main(args)
     assert os.path.exists(os.path.join(result_root, "samples", "00000000",
                                        "joint_fit.npz"))
+
+
+@pytest.mark.slow
+def test_fit_video_epic_evidence_root(tmp_path, monkeypatch):
+    """EPIC end to end THROUGH the real dataset class: clip mining from a
+    fabricated EPIC-100 annotation table, HOA detections -> tracked boxes,
+    shipped noun registry (sphere fallback), cached evidence A+B+C."""
+    import jax.numpy as jnp
+    import pandas as pd
+    import torch
+
+    from homan_tpu.cli import fit_video
+    from homan_tpu.core import mano as mano_lib
+    from homan_tpu.data import hoa as hoa_lib
+    from homan_tpu.data.epic import VIDEO_H, VIDEO_W, Epic
+    from homan_tpu.frontend.adapters import record_cached_evidence
+    from homan_tpu.frontend.cachedfit import frame_key
+    from homan_tpu.frontend.gtevidence import (mask_to_bbox, procrustes_rigid,
+                                               render_full_mask)
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    monkeypatch.chdir(tmp_path)
+    T, step = 3, 2
+    image_size = 640
+    # ---- fabricate EPIC-100 annotations + HOA detections ----
+    annotations_path = tmp_path / "EPIC_100_train.pkl"
+    pd.DataFrame([{"video_id": "P01_01", "noun": "cup", "verb": "take",
+                   "start_frame": 0, "stop_frame": 30}]).to_pickle(
+        annotations_path)
+    hoa_root = tmp_path / "hoa"
+    hoa_root.mkdir()
+    dets = []
+    for fi in range(31):
+        x = 0.3 + 0.002 * fi
+        dets.append(hoa_lib.FrameDetections(
+            video_id="P01_01", frame_number=fi,
+            hands=[hoa_lib.HandDetection(
+                bbox=hoa_lib.BBox(x, 0.3, x + 0.25, 0.7), score=0.9,
+                state=hoa_lib.HandState.PORTABLE_OBJECT,
+                side=hoa_lib.HandSide.RIGHT,
+                object_offset=hoa_lib.FloatVector(0.01, 0.02))],
+            objects=[hoa_lib.ObjectDetection(
+                bbox=hoa_lib.BBox(x - 0.1, 0.35, x + 0.1, 0.6), score=0.8)],
+        ))
+    with open(hoa_root / "P01_01.pkl", "wb") as fh:
+        pickle.dump(dets, fh)
+
+    ds = Epic(annotations_path=str(annotations_path), hoa_root=str(hoa_root),
+              frames_root=str(tmp_path / "noframes"), nouns=("cup",),
+              frame_nb=T, frame_step=step,
+              cache_folder=str(tmp_path / "cache"), load_img=False)
+    assert len(ds) == 1
+    annots = ds[0]
+    assert annots["objects"][0]["canverts3d"] is not None  # noun registry
+    assert annots["hands"][0]["label"] == "right_hand"
+    obj_verts_can = annots["objects"][0]["canverts3d"][0]
+    obj_faces = annots["objects"][0]["faces"][0]
+    K = annots["camera"]["K"][0]
+
+    # ---- synthesize detections-consistent cached evidence ----
+    layer = mano_lib.ManoLayer.synthetic(0)
+    rest = np.asarray(mano_lib.mano_forward_jit(
+        layer.params["right"], jnp.zeros(10), jnp.zeros(3),
+        jnp.zeros(45))["verts"])
+    obj_topo = MeshTopology.from_faces(obj_faces)
+    hand_topo = MeshTopology.from_faces(np.asarray(layer.faces("right")))
+    obj_verts = np.stack([obj_verts_can + np.array([0.0, 0.0, 0.35],
+                                                   np.float32)] * T)
+    hand_verts = np.stack([rest + np.array([0.05, 0.0, 0.38], np.float32)]
+                          * T)
+    # Masks rendered in the HOA video frame (the dataset's K convention)
+    obj_masks = render_full_mask(obj_verts, obj_topo,
+                                 np.tile(K[None], (T, 1, 1)), VIDEO_W)
+    hand_masks = render_full_mask(hand_verts, hand_topo,
+                                  np.tile(K[None], (T, 1, 1)), VIDEO_W)
+    obj_masks = obj_masks[:, :VIDEO_H]
+    hand_masks = hand_masks[:, :VIDEO_H]
+    ev_root = str(tmp_path / "evidence")
+    for t in range(T):
+        hv = hand_verts[t]
+        proj = hv @ np.asarray(K, np.float32).T
+        uv = (proj[:, :2] / proj[:, 2:]).astype(np.float32)
+        R_init, t_init = procrustes_rigid(rest, hv)
+        person = {
+            "bboxes": torch.from_numpy(mask_to_bbox(hand_masks[t])[None]),
+            "cams": torch.zeros(1, 3),
+            "verts": torch.from_numpy(hv[None]),
+            "verts2d": torch.from_numpy(uv[None]),
+            "rotations": torch.from_numpy(R_init[None]),
+            "translations": torch.from_numpy(t_init[None, None]),
+            "mano_pca_pose": torch.zeros(1, 16),
+            "mano_rot": torch.zeros(1, 3),
+            "mano_trans": torch.zeros(1, 3),
+            "mano_betas": torch.zeros(1, 10),
+            "masks": torch.from_numpy(hand_masks[t][None]),
+            "hand_side": ["right_hand"],
+        }
+        record_cached_evidence(ev_root, frame_key(annots["seq_idx"],
+                                                  annots["frame_idxs"][t]),
+                               person, obj_masks[t])
+
+    import homan_tpu.data.factory as factory
+    monkeypatch.setattr(factory, "get_dataset",
+                        lambda name, **kw: (ds, image_size))
+    monkeypatch.setattr("homan_tpu.cli.fit_video.get_dataset",
+                        lambda name, **kw: (ds, image_size), raising=False)
+    result_root = str(tmp_path / "results")
+    args = fit_video.get_args([
+        "--dataset", "epic",
+        "--evidence_root", ev_root,
+        "--frame_nb", str(T), "--data_step", "1",
+        "--num_initializations", "24", "--num_obj_iterations", "10",
+        "--num_joint_iterations", "10", "--rend_size", "64",
+        "--result_root", result_root,
+        "--mano_root", str(tmp_path / "no_mano"),
+    ])
+    fit_video.main(args)
+    sample_dir = os.path.join(result_root, "samples", "00000000")
+    assert os.path.exists(os.path.join(sample_dir, "joint_fit.npz"))
+    with open(os.path.join(sample_dir, "results.pkl"), "rb") as fh:
+        res = pickle.load(fh)
+    ious = np.asarray(res["losses"]["iou_object"])
+    assert np.isfinite(ious).all()
+    assert ious[-1] > 0.4, ious
