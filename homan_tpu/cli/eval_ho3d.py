@@ -183,7 +183,8 @@ def evaluate_results(results_root: str, dataset, mano_layer,
 
     vid_rows = {row["seq_idx"]: row for row in dataset.vid_rows}
     if sequences is None:
-        sequences = [s for s in EVAL_SEQ_ORDER if s in seq_res]
+        sequences = [s for s in EVAL_SEQ_ORDER
+                     if s in seq_res or s in vid_rows]
         # Any fitted sequence outside the official ordering (fabricated test
         # trees) is appended so nothing silently drops.
         sequences += [s for s in seq_res if s not in EVAL_SEQ_ORDER]
@@ -199,6 +200,15 @@ def evaluate_results(results_root: str, dataset, mano_layer,
     full_idx = 0
     for seq in sequences:
         row = vid_rows[seq]
+        if seq not in seq_res:
+            # Unfitted official sequence: its frames still occupy positions
+            # in the full-rate ordering — advance the seen/unseen counter so
+            # later sequences keep the correct boundary.
+            print(f"No fits for sequence {seq}: skipping "
+                  f"{len(row['frame_ids'])} frames "
+                  "(seen/unseen counter advanced)")
+            full_idx += len(row["frame_ids"])
+            continue
         frame_ids = list(row["frame_ids"])
         frame_nb = len(frame_ids)
         pos_of = {fid: i for i, fid in enumerate(frame_ids)}

@@ -183,3 +183,65 @@ def test_eval_ho3d_on_fit_results(tmp_path):
     assert os.path.exists(tmp_path / "eval_report.html")
     assert os.path.exists(tmp_path / "test_vids" / "seq_SM1.mp4")
     assert os.path.exists(tmp_path / "test_vids" / "rot_AP10_000000.mp4")
+
+
+def test_eval_skips_unfitted_sequence_but_counts_frames(tmp_path):
+    """An official sequence with no fits must still advance the seen/unseen
+    frame counter (the boundary is an absolute frame index)."""
+    import jax.numpy as jnp
+    from homan_tpu.cli.eval_ho3d import evaluate_results
+    from homan_tpu.core.mano import ManoLayer
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.fit import model as M, postprocess
+
+    layer = ManoLayer.synthetic(0)
+    v, f = bumpy_potato(1, 0.08, seed=0)
+    T = 2
+    cfg = M.HomanConfig(hand_sides=("right",))
+    state = M.init_state(
+        cfg,
+        translations_object=np.tile([[0, 0, 0.5]], (T, 1))[:, None],
+        rotations_object=np.tile(np.eye(3), (T, 1, 1)),
+        translations_hand=np.tile([[0.1, 0, 0.5]], (T, 1))[:, None],
+        rotations_hand=np.tile(np.eye(3), (T, 1, 1)),
+        mano_pca_pose=np.zeros((T, 16)), mano_rot=np.zeros((T, 3)),
+        mano_trans=np.zeros((T, 3)), mano_betas=np.zeros((T, 10)))
+    fit = postprocess.post_process(state, {"right": layer.params["right"]},
+                                   jnp.asarray(v), cfg)
+    # Only MPM10 has a fit; SM1 (6 frames, earlier in the ordering) has none
+    sdir = tmp_path / "samples" / "00000000"
+    sdir.mkdir(parents=True)
+    np.savez(sdir / "joint_fit.npz", **postprocess.state_to_dict(state))
+
+    class FakeDataset:
+        image_size = 64
+        vid_rows = [{"seq_idx": s, "frame_ids": [0, 1], "frame_nb": 2}
+                    for s in ("MPM10",)] + [
+                    {"seq_idx": "SM1", "frame_ids": list(range(6)),
+                     "frame_nb": 6}]
+
+        def __getitem__(self, idx):
+            return {"seq_idx": "MPM10", "frame_idxs": [0, 1],
+                    "hands": [{"label": "right_hand"}],
+                    "objects": [{"canverts3d": v, "faces": f}],
+                    "camera": {"K": np.tile(np.eye(3, dtype=np.float32)[None],
+                                            (2, 1, 1))}}
+
+        def get_obj_verts_trans(self, seq, fid):
+            return np.asarray(fit["verts_object"])[fid]
+
+        def get_obj_verts_can(self, seq, fid):
+            return v, f
+
+        def get_joints3d(self, seq, fid):
+            return np.asarray(fit["joints_hand"])[fid]
+
+    # boundary at 7: SM1's 6 skipped frames + MPM10 frame 0 are "seen",
+    # MPM10 frame 1 is "unseen" — only if the counter advances over SM1
+    summary = evaluate_results(str(tmp_path), FakeDataset(), layer,
+                               report=False, inter_metrics=False,
+                               boundary_idx=7)
+    with open(tmp_path / "eval_metrics.pkl", "rb") as fh:
+        all_metrics = pickle.load(fh)["all"]
+    assert len(all_metrics["obj_dist_seen"]) == 1
+    assert len(all_metrics["obj_dist_unseen"]) == 1
