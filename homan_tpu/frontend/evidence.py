@@ -136,10 +136,11 @@ def process_hand_estimates(estimates: Dict[str, Dict],
                            hand_masks: Dict[str, np.ndarray],
                            hand_bboxes: Dict[str, np.ndarray]) -> List[Dict]:
     """Assemble person_parameters for one frame in the reference layout
-    (homan/mocap.py:80-113): one entry per present hand side, left before
-    right sorted by bbox x like the reference's argsort (mocap.py:57-58)."""
+    (homan/mocap.py:80-113): one entry per present hand side, LEFT before
+    RIGHT — the reference's fixed processing order (frameinfos.py:128-152).
+    A per-frame bbox sort would make the interleaved hand layout unstable
+    across frames whenever the hands cross."""
     sides = [s for s in ("left_hand", "right_hand") if s in estimates]
-    sides.sort(key=lambda s: float(np.asarray(hand_bboxes[s]).ravel()[0]))
     out = []
     for side in sides:
         est = dict(estimates[side])

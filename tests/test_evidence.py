@@ -93,3 +93,31 @@ def test_square_bbox_expansion():
     sq = ev.square_bbox_with_expansion(np.array([0.0, 0.0, 100.0, 50.0]))
     assert sq[2] == sq[3]
     assert sq[2] == pytest.approx(100 * 1.3)
+
+
+def test_two_hand_order_stable_across_frames(tmp_path):
+    """Hand order is LEFT then RIGHT regardless of screen positions (the
+    reference's fixed processing order, frameinfos.py:128-152): a per-frame
+    bbox sort would corrupt the interleaved layout when hands cross."""
+    full = np.zeros((64, 64), bool)
+    full[20:40, 20:40] = True
+    for t in range(2):
+        ev.save_frame_evidence(
+            str(tmp_path), str(t),
+            [{"full_mask": full, "score": 0.9, "class_id": 0},
+             {"full_mask": full, "score": 0.9, "class_id": 0},
+             {"full_mask": full, "score": 0.95, "class_id": -1}],
+            {"left_hand": make_hand_estimate(t),
+             "right_hand": make_hand_estimate(10 + t)})
+    cache = ev.CachedEvidence(str(tmp_path))
+    # hands cross between frames: left hand at x=50 then x=5
+    person_frames, _ = ev.get_frame_infos(
+        images=[None, None], hand_provider=cache, mask_provider=cache,
+        hand_bboxes={"left_hand": np.array([[50, 10, 20, 20],
+                                            [5, 10, 20, 20]], np.float32),
+                     "right_hand": np.array([[5, 10, 20, 20],
+                                             [50, 10, 20, 20]], np.float32)},
+        obj_bboxes=np.array([[20, 20, 40, 40]] * 2),
+        camintr=np.tile(np.eye(3), (2, 1, 1)), frame_keys=["0", "1"])
+    for frame in person_frames:
+        assert [p["hand_side"] for p in frame] == ["left", "right"]
