@@ -80,7 +80,8 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
         nx = uy * vz - uz * vy
         ny = uz * vx - ux * vz
         nz = ux * vy - uy * vx
-        nn = jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-18)
+        nn_raw = nx * nx + ny * ny + nz * nz
+        nn = jnp.maximum(nn_raw, 1e-18)
         dplane = (px - ax) * nx + (py - ay) * ny + (pz - az) * nz
         # projection onto the plane
         qx = px - dplane * nx / nn
@@ -96,7 +97,9 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
         w2 = (((ay - qy) * (bz - qz) - (az - qz) * (by - qy)) * nx
               + ((az - qz) * (bx - qx) - (ax - qx) * (bz - qz)) * ny
               + ((ax - qx) * (by - qy) - (ay - qy) * (bx - qx)) * nz)
-        inside_face = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        # degenerate (zero-area) triangles, e.g. pad_mesh padding faces,
+        # must take the edge branch: their plane distance is identically 0
+        inside_face = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (nn_raw > 1e-18)
         plane_d2 = dplane * dplane / nn
         d2 = jnp.where(inside_face, plane_d2, edge_d2)
         d2 = jnp.where(valid > 0.5, d2, big)

@@ -43,14 +43,17 @@ def _point_triangle_dist2(p: jnp.ndarray, a, b, c, eps=1e-12):
     edge_d2 = jnp.minimum(seg_d2(a, b), jnp.minimum(seg_d2(b, c), seg_d2(c, a)))
 
     n = jnp.cross(b - a, c - a)  # (1, F, 3)
-    nn = jnp.maximum((n * n).sum(-1), eps)
+    nn_raw = (n * n).sum(-1)
+    nn = jnp.maximum(nn_raw, eps)
     dist_plane = ((p - a) * n).sum(-1)  # signed * |n|
     proj = p - dist_plane[..., None] * n / nn[..., None]
-    # Barycentric test of the projection
+    # Barycentric test of the projection; degenerate (zero-area) triangles
+    # (e.g. pad_mesh's (0,0,0) padding faces) must take the edge branch —
+    # their plane distance is identically 0 and would corrupt the min.
     w0 = (jnp.cross(b - proj, c - proj) * n).sum(-1)
     w1 = (jnp.cross(c - proj, a - proj) * n).sum(-1)
     w2 = (jnp.cross(a - proj, b - proj) * n).sum(-1)
-    inside_face = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+    inside_face = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (nn_raw > eps)
     plane_d2 = dist_plane * dist_plane / nn
     return jnp.where(inside_face, plane_d2, edge_d2)
 

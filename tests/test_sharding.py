@@ -72,3 +72,87 @@ def test_entry_contract_compiles():
     out = jax.jit(fn)(*args)
     loss = out[0]
     assert np.isfinite(float(loss))
+
+
+def test_pad_mesh_render_and_sdf_invariant():
+    """pad_mesh bucketing is exact: padded meshes render identical soft
+    silhouettes and voxelize to identical interior SDFs (degenerate faces
+    contribute nothing; collapsed verts sit on the surface)."""
+    import jax.numpy as jnp
+    from homan_tpu.core.meshes import bumpy_potato, pad_mesh
+    from homan_tpu.interactions.sdf import voxelize_interior_sdf
+    from homan_tpu.render import RasterSettings, rasterize_soft
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    v, f = bumpy_potato(2, 0.3, seed=2)
+    vp, fp = pad_mesh(v, f, v.shape[0] + 37, f.shape[0] + 53)
+    K = jnp.asarray([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]]],
+                    jnp.float32)
+    settings = RasterSettings(image_size=64, tile_px=16, faces_per_tile=384,
+                              edges_per_tile=384)
+    sil = rasterize_soft(jnp.asarray(v)[None] + jnp.asarray([0, 0, 1.0]),
+                         MeshTopology.from_faces(f), K, settings)["sil"]
+    sil_p = rasterize_soft(jnp.asarray(vp)[None] + jnp.asarray([0, 0, 1.0]),
+                           MeshTopology.from_faces(fp), K, settings)["sil"]
+    np.testing.assert_allclose(np.asarray(sil_p), np.asarray(sil), atol=1e-5)
+
+    phi = voxelize_interior_sdf(jnp.asarray(v)[None], jnp.asarray(f),
+                                grid_size=16)
+    phi_p = voxelize_interior_sdf(jnp.asarray(vp)[None], jnp.asarray(fp),
+                                  grid_size=16)
+    np.testing.assert_allclose(np.asarray(phi_p), np.asarray(phi), atol=1e-6)
+
+
+def test_heterogeneous_objects_multiclip_via_buckets():
+    """Clips with DIFFERENT object meshes batch into one sharded program by
+    padding to a common shape bucket (SURVEY hard-part #4)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from homan_tpu.core.mano import ManoLayer
+    from homan_tpu.core.meshes import bumpy_potato, pad_mesh
+    from homan_tpu.frontend.gtsynth import make_synthetic_scene
+    from homan_tpu.parallel import clips as par
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    layer = ManoLayer.synthetic(0)
+    meshes = [bumpy_potato(2, 0.08, seed=1),   # 162 verts / 320 faces
+              bumpy_potato(1, 0.07, seed=2)]   # 42 verts / 80 faces
+    v_bucket = max(m[0].shape[0] for m in meshes)
+    f_bucket = max(m[1].shape[0] for m in meshes)
+    padded = [pad_mesh(v, f, v_bucket, f_bucket) for v, f in meshes]
+    # Topologies differ per clip, but MeshTopology is a pytree of static
+    # -shaped arrays once bucketed: edges also need a shared bucket.
+    topos = [MeshTopology.from_faces(f) for _, f in padded]
+    e_bucket = max(t.edges.shape[0] for t in topos)
+
+    def pad_topo(t):
+        pad = e_bucket - t.edges.shape[0]
+        return MeshTopology(
+            faces=t.faces,
+            edges=jnp.concatenate([t.edges, jnp.zeros((pad, 2), jnp.int32)]),
+            edge_faces=jnp.concatenate(
+                [t.edge_faces, jnp.full((pad, 2), -1, jnp.int32)]),
+            edge_dir_f1=jnp.concatenate(
+                [t.edge_dir_f1, jnp.zeros(pad, bool)]))
+
+    scenes = []
+    for (vp, fp), topo in zip(padded, topos):
+        scenes.append(make_synthetic_scene(
+            seed=7, frame_nb=2, image_size=64, rend_size=32,
+            mano_layer=layer, obj_mesh=(vp, fp)))
+        scenes[-1] = dataclasses.replace(
+            scenes[-1],
+            consts=dataclasses.replace(scenes[-1].consts,
+                                       faces_object=pad_topo(topo)))
+    states = par.stack_clips([s.init_state for s in scenes])
+    consts = par.stack_clips([s.consts for s in scenes])
+    mesh = par.make_clip_mesh(2)
+    final, history = par.fit_clips_batched(
+        states, consts, scenes[0].cfg,
+        loss_weights={"lw_sil_obj": 1.0, "lw_smooth_obj": 1.0,
+                      "lw_smooth_hand": 1.0},
+        num_iterations=2, roi_settings=scenes[0].roi_settings, mesh=mesh)
+    loss = np.asarray(history["loss"])
+    assert loss.shape == (2, 2)
+    assert np.isfinite(loss).all()
