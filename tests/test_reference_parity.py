@@ -61,12 +61,24 @@ def ref(tmp_path_factory):
     _module("sdf", SDF=object)
     _module("trimesh", Trimesh=object, load=lambda *a, **k: None)
 
-    class _BoxMode:  # import-time only; calling it would make a test vacuous
+    class _BoxMode:
+        """detectron2 BoxMode with its two absolute modes; `convert`
+        implements the documented standard formulas (XYXY<->XYWH) so the
+        reference's bbox/camera helpers are runnable."""
         XYXY_ABS, XYWH_ABS = 0, 1
 
         @staticmethod
-        def convert(*a, **k):
-            raise NotImplementedError("BoxMode stub must not be exercised")
+        def convert(box, from_mode, to_mode):
+            box = np.asarray(box, np.float64).copy()
+            if from_mode == to_mode:
+                return box
+            if from_mode == _BoxMode.XYXY_ABS:  # -> XYWH
+                box[..., 2] -= box[..., 0]
+                box[..., 3] -= box[..., 1]
+            else:  # XYWH -> XYXY
+                box[..., 2] += box[..., 0]
+                box[..., 3] += box[..., 1]
+            return box
 
     _module("detectron2")
     _module("detectron2.structures")
@@ -238,3 +250,33 @@ def test_chunk_vid_index_parity(ref):
                         if min(f) >= 0
                         and max(f) < {"A": 900, "B": 57, "C": 41}[s]]
         assert ours_chunks == theirs_valid
+
+
+def test_bbox_ops_parity(ref):
+    import homan.utils.bbox as ref_bbox
+    from homan_tpu.core import bbox as our_bbox
+    rng = np.random.RandomState(6)
+    xyxy = np.sort(rng.rand(5, 4).astype(np.float64) * 100, axis=-1)
+    np.testing.assert_allclose(our_bbox.bbox_xy_to_wh(xyxy),
+                               ref_bbox.bbox_xy_to_wh(xyxy), atol=1e-9)
+    wh = our_bbox.bbox_xy_to_wh(xyxy)
+    np.testing.assert_allclose(our_bbox.bbox_wh_to_xy(wh),
+                               ref_bbox.bbox_wh_to_xy(wh), atol=1e-9)
+    for exp in (0.0, 0.3):
+        np.testing.assert_allclose(
+            our_bbox.make_bbox_square(wh, bbox_expansion=exp),
+            ref_bbox.make_bbox_square(wh, bbox_expansion=exp), atol=1e-9)
+
+
+def test_local_to_global_cam_parity(ref):
+    import jax.numpy as jnp
+    from homan_tpu.core import camera as cam
+    rng = np.random.RandomState(7)
+    bboxes = np.sort(rng.rand(4, 4).astype(np.float64) * 400, axis=-1)
+    cams = np.stack([rng.rand(4) * 2 + 0.5, rng.randn(4) * 0.1,
+                     rng.randn(4) * 0.1], axis=1)
+    theirs = ref.camera.local_to_global_cam(bboxes, cams, 640)
+    ours = np.asarray(cam.local_to_global_cam(
+        jnp.asarray(bboxes, jnp.float32), jnp.asarray(cams, jnp.float32),
+        640.0))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
