@@ -116,3 +116,68 @@ def html_grid(rows: Dict[str, List[str]], out_path: str,
     with open(out_path, "w") as f:
         f.write(doc)
     return out_path
+
+
+def parse_experiment(result_root: str) -> Dict:
+    """Collect one experiment's options + per-sample metric lists
+    (homan/eval/analyze.py parse_res role). Reads the root results.pkl when
+    present, else aggregates samples/*/results.pkl."""
+    root_pkl = os.path.join(result_root, "results.pkl")
+    if os.path.exists(root_pkl):
+        with open(root_pkl, "rb") as f:
+            payload = pickle.load(f)
+        return {"root": result_root, "opts": payload.get("opts", {}),
+                "metrics": payload.get("metrics", {})}
+    metrics: Dict[str, List] = {}
+    samples = os.path.join(result_root, "samples")
+    for name in sorted(os.listdir(samples)) if os.path.isdir(samples) else []:
+        spath = os.path.join(samples, name, "results.pkl")
+        if not os.path.exists(spath):
+            continue
+        with open(spath, "rb") as f:
+            res = pickle.load(f)
+        for k, v in res.get("metrics", {}).items():
+            metrics.setdefault(k, []).extend(np.ravel(v).tolist())
+    return {"root": result_root, "opts": {}, "metrics": metrics}
+
+
+def compare_experiments(result_roots: Sequence[str],
+                        out_path: str,
+                        sort_metric: str | None = None) -> str:
+    """Cross-experiment comparison table (homan/eval/analyze.py:12-115 +
+    logutils.df2html role): one row per experiment, mean of each metric,
+    differing options highlighted; optionally sorted by a metric."""
+    exps = [parse_experiment(r) for r in result_roots]
+    all_keys = sorted({k for e in exps for k in e["metrics"]})
+    opt_keys = sorted({k for e in exps for k in e["opts"]})
+    # only show options that differ between experiments
+    diff_opts = [k for k in opt_keys
+                 if len({repr(e["opts"].get(k)) for e in exps}) > 1]
+
+    def mean_of(e, k):
+        vals = np.asarray([v for v in np.ravel(e["metrics"].get(k, []))
+                           if isinstance(v, (int, float, np.floating,
+                                             np.integer))], np.float64)
+        return float(np.nanmean(vals)) if len(vals) else float("nan")
+
+    if sort_metric in all_keys:
+        exps.sort(key=lambda e: mean_of(e, sort_metric))
+    parts = ["<html><body><h1>Experiment comparison</h1>",
+             "<table border=1 cellspacing=0 cellpadding=4><tr>",
+             "<th>experiment</th>"]
+    parts += [f"<th>{html.escape(k)}</th>" for k in diff_opts]
+    parts += [f"<th>{html.escape(k)}</th>" for k in all_keys]
+    parts.append("</tr>")
+    for e in exps:
+        parts.append(f"<tr><td>{html.escape(os.path.basename(e['root']) or e['root'])}</td>")
+        for k in diff_opts:
+            parts.append(f"<td>{html.escape(str(e['opts'].get(k, '')))}</td>")
+        for k in all_keys:
+            m = mean_of(e, k)
+            parts.append(f"<td>{m:.5g}</td>" if np.isfinite(m)
+                         else "<td>-</td>")
+        parts.append("</tr>")
+    parts.append("</table></body></html>")
+    with open(out_path, "w") as f:
+        f.write("".join(parts))
+    return out_path

@@ -245,3 +245,23 @@ def test_eval_skips_unfitted_sequence_but_counts_frames(tmp_path):
         all_metrics = pickle.load(fh)["all"]
     assert len(all_metrics["obj_dist_seen"]) == 1
     assert len(all_metrics["obj_dist_unseen"]) == 1
+
+
+def test_compare_experiments(tmp_path):
+    """Cross-experiment comparison table (homan/eval/analyze.py role)."""
+    from homan_tpu.eval import report
+    for name, lr, err in (("expA", 0.01, 0.02), ("expB", 0.001, 0.01)):
+        root = tmp_path / name
+        root.mkdir()
+        report.dump({"lr": lr, "same_opt": 1},
+                    {"verts_dists_hand": [err, err * 2]},
+                    str(root / "results.pkl"))
+    out = report.compare_experiments(
+        [str(tmp_path / "expA"), str(tmp_path / "expB")],
+        str(tmp_path / "cmp.html"), sort_metric="verts_dists_hand")
+    content = open(out).read()
+    assert "expA" in content and "expB" in content
+    assert "lr" in content           # differing option shown
+    assert "same_opt" not in content  # identical option hidden
+    # sorted by the metric: expB (smaller error) first
+    assert content.index("expB") < content.index("expA")
