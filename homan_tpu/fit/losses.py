@@ -304,6 +304,13 @@ def compute_ordinal_depth_loss(masks, silhouettes, depths):
     """Ordinal depth (homan/lossutils.py:133-169): penalize pixels where the
     GT says object i is in front of j but the render disagrees.
 
+    The reference's implementation is unreachable twice over (the no-arg
+    call at homan/homan.py:507 and `torch.Tensor(0.0)` at lossutils.py:140
+    both raise), so exact parity is undefined; we normalize by the number of
+    i != j pairs with any joint coverage (the reference's loop would also
+    have counted i == j pairs, which contribute zero loss, in the
+    denominator).
+
     Args:
       masks: (B, N, S, S) bool per-entity full-image GT masks.
       silhouettes: list of N (B, S, S) bool renders.
