@@ -190,3 +190,40 @@ def test_lowres_refine_with_fullres_rescore_matches_exact():
         prune_to=None, refine_scale=1.0, **common)
     assert fast[0]["best_iou"] > exact[0]["best_iou"] - 0.03, (
         fast[0]["best_iou"], exact[0]["best_iou"])
+
+
+def test_stage_b_deterministic_and_empty_mask_robust():
+    """Same seed -> identical selected pose; a frame whose object detection
+    is EMPTY must degrade gracefully (no NaNs), as happens on real data."""
+    v, f = bumpy_potato(1, 0.09, seed=3)
+    topo = MeshTopology.from_faces(f)
+    verts = jnp.asarray(v)
+    S, img = 32, 64
+    K_px = np.array([[img * 0.9, 0, img / 2], [0, img * 0.9, img / 2],
+                     [0, 0, 1]], np.float32)
+    settings = RasterSettings(image_size=S, tile_px=16, faces_per_tile=192,
+                              edges_per_tile=128)
+    mask = np.zeros((S, S), np.float32)
+    mask[8:24, 10:26] = 1.0
+    good = {"target_crop_mask": mask, "bbox": np.array([10.0, 8, 16, 16]),
+            "square_bbox": np.array([8.0, 6, 20, 20], np.float32),
+            "full_mask": None}
+    empty = {"target_crop_mask": np.zeros((S, S), np.float32),
+             "bbox": np.array([0.0, 0, 1, 1]),
+             "square_bbox": np.array([0.0, 0, 2, 2], np.float32),
+             "full_mask": None}
+
+    def run():
+        return poseinit.find_optimal_poses(
+            verts, topo, [good, empty], [K_px, K_px], (img, img),
+            num_initializations=16, num_iterations=5, rend_size=S,
+            settings=settings, seed=3)
+
+    r1, r2 = run(), run()
+    for res in (r1, r2):
+        assert np.isfinite(np.asarray(res[0]["rotations"])).all()
+        assert np.isfinite(np.asarray(res[1]["translations"])).all()
+    np.testing.assert_array_equal(np.asarray(r1[0]["rotations"]),
+                                  np.asarray(r2[0]["rotations"]))
+    np.testing.assert_array_equal(np.asarray(r1[1]["translations"]),
+                                  np.asarray(r2[1]["translations"]))
