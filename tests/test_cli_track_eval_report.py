@@ -265,3 +265,14 @@ def test_compare_experiments(tmp_path):
     assert "same_opt" not in content  # identical option hidden
     # sorted by the metric: expB (smaller error) first
     assert content.index("expB") < content.index("expA")
+
+
+def test_codalab_joint_order_is_exact_inverse():
+    """UNORDER_IDXS must invert the HO3D->ours reorder exactly (the
+    reference's hardcoded unorder table has an off-by-one, documented in
+    cli/eval_ho3d.py)."""
+    from homan_tpu.cli.eval_ho3d import UNORDER_IDXS
+    from homan_tpu.core.mano import JOINT_REORDER
+    reorder = np.asarray(JOINT_REORDER)
+    np.testing.assert_array_equal(reorder[UNORDER_IDXS], np.arange(21))
+    np.testing.assert_array_equal(UNORDER_IDXS[reorder], np.arange(21))
