@@ -141,3 +141,31 @@ def test_turntable_frames():
     assert len(frames) == 4
     # the view changes as it turns
     assert not np.array_equal(frames[0], frames[2])
+
+
+def test_stage_timers_accumulate_and_sync():
+    import jax.numpy as jnp
+    from homan_tpu.utils_profiling import StageTimers
+
+    timers = StageTimers()
+    with timers.time("stage_a"):
+        pass
+    with timers.time("stage_a", sync=jnp.ones(4) * 2):
+        x = jnp.ones(8).sum()
+    with timers.time("stage_b") as holder:
+        holder["sync"] = jnp.arange(3)
+    assert timers.counts["stage_a"] == 2
+    assert timers.counts["stage_b"] == 1
+    rep = timers.report()
+    assert "stage_a" in rep and "ms avg" in rep
+
+
+def test_profile_trace_writes_dir(tmp_path):
+    import jax.numpy as jnp
+    from homan_tpu.utils_profiling import profile_trace
+
+    with profile_trace(str(tmp_path / "trace")) as d:
+        jnp.ones(16).sum().block_until_ready()
+    import os
+    assert os.path.isdir(d)
+    assert any(os.scandir(d))  # trace artifacts written
