@@ -275,3 +275,31 @@ def test_epic_models_registry_defaults(tmp_path):
     save_obj(str(p), v, f)
     models = load_epic_models({"cup": str(p)})
     assert models["cup"]["verts"].shape[0] == v.shape[0]
+
+
+def test_epic_tar_frame_reader(tmp_path):
+    """Per-video tar archives with EPIC frame naming (tarutils.py role),
+    both './'-prefixed and bare member names."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    from homan_tpu.data.epic import TarFrameReader
+
+    tar_path = tmp_path / "P01_01.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        for fi, prefix in ((3, "./"), (4, "")):
+            buf = io.BytesIO()
+            Image.new("RGB", (8, 6), color=(fi, 0, 0)).save(buf,
+                                                            format="JPEG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{prefix}frame_{fi:010d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    reader = TarFrameReader(str(tmp_path))
+    img3 = reader.read_frame("P01_01", 3)
+    img4 = reader.read_frame("P01_01", 4)
+    assert img3.shape == (6, 8, 3) and img4.shape == (6, 8, 3)
+    assert abs(int(img3[0, 0, 0]) - 3) <= 2  # JPEG tolerance
+    assert abs(int(img4[0, 0, 0]) - 4) <= 2
