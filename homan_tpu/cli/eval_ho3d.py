@@ -211,6 +211,8 @@ def evaluate_results(results_root: str, dataset, mano_layer,
             continue
         frame_ids = list(row["frame_ids"])
         frame_nb = len(frame_ids)
+        print(f"Evaluating {seq}: {len(seq_res[seq])} fitted frames -> "
+              f"{frame_nb} full-rate frames")
         pos_of = {fid: i for i, fid in enumerate(frame_ids)}
         frames_dict = seq_res[seq]
         positions = [pos_of[f] for f in sorted(frames_dict)]
@@ -309,6 +311,11 @@ def evaluate_results(results_root: str, dataset, mano_layer,
     summary = {k: float(np.mean(v)) for k, v in loss_errors.items() if v}
     summary_median = {k: float(np.median(v))
                       for k, v in loss_errors.items() if v}
+    summary_max = {k: float(np.max(v)) for k, v in loss_errors.items() if v}
+    # The reference prints all three aggregates (evalho3drecons.py:227-238)
+    print("Mean errors");   print(summary)
+    print("Median errors"); print(summary_median)
+    print("Max errors");    print(summary_max)
 
     if dump_codalab:
         dump_codalab_pred(os.path.join(results_root, "pred.json"),
@@ -319,7 +326,7 @@ def evaluate_results(results_root: str, dataset, mano_layer,
         write_eval_html(eval_html, summary, full_html_rows)
     with open(os.path.join(results_root, "eval_metrics.pkl"), "wb") as f:
         pickle.dump({"summary": summary, "median": summary_median,
-                     "all": dict(loss_errors),
+                     "max": summary_max, "all": dict(loss_errors),
                      "per_seq": full_html_rows}, f)
     return summary
 
