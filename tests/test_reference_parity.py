@@ -280,3 +280,22 @@ def test_local_to_global_cam_parity(ref):
         jnp.asarray(bboxes, jnp.float32), jnp.asarray(cams, jnp.float32),
         640.0))
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_bbox_overlap_iou_parity(ref):
+    import homan.utils.bbox as ref_bbox
+    from homan_tpu.core import bbox as our_bbox
+    # (the docstring's 2-element z-interval form indexes [2] in BOTH
+    # implementations and is therefore dead; only 4-boxes are comparable)
+    cases = [([0, 0, 10, 10], [5, 5, 15, 15]),
+             ([0, 0, 10, 10], [11, 11, 20, 20]),
+             ([0, 0, 4, 4], [0, 0, 4, 4])]
+    for b1, b2 in cases:
+        assert (our_bbox.check_overlap(b1, b2)
+                == ref_bbox.check_overlap(b1, b2)), (b1, b2)
+    iou_cases = [([0, 0, 10, 10], [5, 5, 15, 15]),
+                 ([0, 0, 4, 4], [0, 0, 4, 4])]
+    for b1, b2 in iou_cases:
+        a1, a2 = np.asarray(b1, np.float64), np.asarray(b2, np.float64)
+        np.testing.assert_allclose(our_bbox.compute_iou(a1, a2),
+                                   ref_bbox.compute_iou(a1, a2), atol=1e-9)

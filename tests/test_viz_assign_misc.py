@@ -169,3 +169,9 @@ def test_profile_trace_writes_dir(tmp_path):
     import os
     assert os.path.isdir(d)
     assert any(os.scandir(d))  # trace artifacts written
+
+
+def test_html_video_embed():
+    from homan_tpu.viz import extras
+    tag = extras.html_video_embed("clip.webm", height=120)
+    assert "clip.webm" in tag and "video" in tag and "120" in tag
