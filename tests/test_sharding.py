@@ -48,18 +48,24 @@ def test_fit_clips_batched_sharded_matches_single():
 
 
 def test_dryrun_multichip_contract():
-    """The driver runs this with NO ambient JAX env vars, possibly on a host
-    whose TPU runtime is broken; dryrun_multichip must self-provision the
-    CPU mesh (it re-execs itself in a subprocess with the env forced)."""
+    """Reproduce the driver's exact invocation: the AMBIENT environment
+    (including any sitecustomize dirs on PYTHONPATH that force-register a
+    TPU plugin — the round-2 failure mode), only the test-harness JAX
+    overrides removed. dryrun_multichip must self-provision the CPU mesh by
+    re-exec'ing itself with the env forced and the plugin vectors scrubbed."""
     import os
     import subprocess
     import sys
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Keep PYTHONPATH and every other ambient var; drop only the JAX
+    # platform settings the pytest conftest itself injected, since the
+    # driver environment does not set them.
     env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH",
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
                         "_HOMAN_TPU_DRYRUN_CHILD")}
-    env["PYTHONPATH"] = repo_root
+    env["PYTHONPATH"] = (repo_root + os.pathsep +
+                         env.get("PYTHONPATH", "")).rstrip(os.pathsep)
     subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
