@@ -77,6 +77,11 @@ def get_args(argv=None):
                         help="batch stage-B frames 1..T-1 in one program "
                              "(init from frame 0 instead of chaining)")
     parser.add_argument("--mano_root", default="extra_data/mano")
+    parser.add_argument("--closed_fmano_path", type=str,
+                        help="closed-fist MANO faces npy (reference "
+                             "local_data/closed_fmano.npy format); when "
+                             "absent the wrist ring is closed by fan "
+                             "triangulation (identical topology)")
     # Loss weights: the lw_ convention of fit_vid_dataset.py:91-158
     parser.add_argument("--lw_smooth", type=float, default=2000)
     parser.add_argument("--lw_v2d_hand", type=float, default=50)
@@ -194,6 +199,19 @@ def main(args):
     loss_weights = {k: v for k, v in vars(args).items() if k.startswith("lw_")}
     loss_weights.pop("lw_smooth", None)
 
+    # Closed-fist hand topology for the SDF collision/contact terms
+    # (homan/lossutils.py:15,43-64 loads local_data/closed_fmano.npy; we
+    # derive the identical closure when no file is supplied).
+    closed_hand_faces = None
+    if loss_weights.get("lw_collision", 0) > 0 or \
+            loss_weights.get("lw_contact", 0) > 0:
+        from homan_tpu.core.meshes import load_closed_hand_faces
+        path = args.closed_fmano_path
+        if path and not os.path.exists(path):
+            raise SystemExit(f"--closed_fmano_path not found: {path}")
+        closed_hand_faces = load_closed_hand_faces(
+            path, np.asarray(mano_layer.faces("right")))
+
     all_metrics = defaultdict(list)
     for sample_idx in range(args.data_offset, len(dataset), args.data_step):
         sample_folder = os.path.join(args.result_root, "samples",
@@ -264,6 +282,7 @@ def main(args):
         final_state, history = joint.optimize_hand_object(
             state, consts, cfg, loss_weights=loss_weights,
             num_iterations=args.num_joint_iterations,
+            closed_hand_faces=closed_hand_faces,
             viz_step=args.viz_step if args.viz_step else None,
             viz_callback=viz_callback if args.viz_step else None)
 

@@ -151,6 +151,57 @@ def decimate(verts: np.ndarray, faces: np.ndarray, target_faces: int):
     return best
 
 
+def close_boundary_fan(faces: np.ndarray) -> np.ndarray:
+    """Close every boundary loop of a triangle mesh by fan triangulation.
+
+    Derivation fallback for the reference's closed-fist MANO topology
+    (`local_data/closed_fmano.npy`, loaded at homan/lossutils.py:15): the
+    MANO hand mesh is open at the wrist, but SDF interior tests need a
+    watertight mesh. The shipped file is the 1538 open MANO faces plus a
+    14-triangle cap over the 16-vertex wrist ring. We reproduce the
+    construction for any open, consistently-wound mesh: collect directed
+    edges whose reverse never occurs (boundary), chain them into loops, and
+    fan each loop from its first vertex with winding opposite to the
+    adjacent interior faces so orientation stays consistent. Watertight
+    input is returned unchanged.
+    """
+    faces = np.asarray(faces)
+    d_edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    edge_set = set(map(tuple, d_edges.tolist()))
+    nxt = {u: v for (u, v) in edge_set if (v, u) not in edge_set}
+    new_faces = []
+    visited = set()
+    for start in sorted(nxt):
+        if start in visited:
+            continue
+        loop = [start]
+        visited.add(start)
+        cur = nxt[start]
+        while cur != start:
+            loop.append(cur)
+            visited.add(cur)
+            cur = nxt[cur]
+        # Boundary directed edges run u->v along the loop; cap triangles
+        # (apex, v, u) contain the reversed edge v->u, matching how two
+        # consistently-oriented faces share an edge in opposite directions.
+        for i in range(1, len(loop) - 1):
+            new_faces.append([loop[0], loop[i + 1], loop[i]])
+    if not new_faces:
+        return faces.copy()
+    return np.concatenate([faces, np.asarray(new_faces, faces.dtype)])
+
+
+def load_closed_hand_faces(path: str | None, open_faces: np.ndarray):
+    """Closed-fist hand topology: from the reference's npy if given/present,
+    else derived by closing the wrist ring (close_boundary_fan)."""
+    if path:
+        closed = np.load(path)
+        assert closed.ndim == 2 and closed.shape[1] == 3, closed.shape
+        return closed.astype(np.int32)
+    return close_boundary_fan(np.asarray(open_faces)).astype(np.int32)
+
+
 def pad_mesh(verts: np.ndarray, faces: np.ndarray, vert_bucket: int,
              face_bucket: int):
     """Pad to static shape buckets so XLA compiles once per bucket.

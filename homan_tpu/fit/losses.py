@@ -183,8 +183,10 @@ def compute_interaction_loss(verts_hand_det, verts_obj, camintr, cfg,
         min_dists.append(jnp.sqrt(jnp.maximum(d2.min(axis=(1, 2)), 0.0)))
     err = jnp.stack(losses)          # (H, B)
     ind = jnp.stack(indicators)      # (H, B)
-    num = ind.sum()
-    loss = jnp.where(num > 0, (err * ind).sum() / jnp.maximum(num, 1), 0.0)
+    # Literal reference semantics: the per-interaction normalization at
+    # homan/losses.py:231-234 assigns `loss_inter_` (dead variable) and
+    # returns the UN-normalized sum over interacting (hand, frame) pairs.
+    loss = (err * ind).sum()
     handobj_maxdist = jnp.stack(min_dists).min(axis=0).max()
     return ({"loss_inter": loss},
             {"handobj_maxdist": handobj_maxdist})

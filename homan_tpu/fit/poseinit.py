@@ -149,8 +149,14 @@ def _score_candidates(vertices, topo, target_mask, keep_mask, K_roi,
     (the full-resolution rescoring pass after low-res refinement)."""
     C = rot6d.shape[0]
     chunk = min(candidate_chunk, C)
-    while C % chunk:
-        chunk -= 1
+    # Pad to the next chunk multiple (replicating leading candidates) rather
+    # than shrinking the chunk to a divisor: a prime C would otherwise fall
+    # to chunk=1 and lax.map C single-candidate programs.
+    pad = (-C) % chunk
+    Cp = C + pad
+
+    def padded(x):
+        return jnp.concatenate([x, x[:pad]]) if pad else x
 
     def one_chunk(args):
         r6, tr, ref, keep, Kb = args
@@ -160,12 +166,13 @@ def _score_candidates(vertices, topo, target_mask, keep_mask, K_roi,
         return batch_mask_iou(keep * sil, ref)
 
     def chunked(x):
-        return x.reshape((C // chunk, chunk) + x.shape[1:])
+        x = padded(x)
+        return x.reshape((Cp // chunk, chunk) + x.shape[1:])
 
     ious = jax.lax.map(one_chunk, (chunked(rot6d), chunked(trans),
                                    chunked(target_mask), chunked(keep_mask),
                                    chunked(K_roi)))
-    return ious.reshape(C)
+    return ious.reshape(Cp)[:C]
 
 
 @dataclasses.dataclass
@@ -192,16 +199,25 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
     """
     C = rot6d_init.shape[0]
     chunk = min(candidate_chunk, C)
-    while C % chunk:  # largest divisor of C not exceeding candidate_chunk
-        chunk -= 1
-    n_chunks = C // chunk
+    # Pad to the next chunk multiple with replicated leading candidates
+    # instead of hunting for a divisor (a prime C would degrade to chunk=1).
+    # Padding candidates are exact duplicates: min/max histories and the
+    # final [:C] slice are unaffected.
+    pad = (-C) % chunk
+    Cp = C + pad
+    n_chunks = Cp // chunk
+
+    def _padded(x):
+        return jnp.concatenate([x, x[:pad]]) if pad else x
 
     # Evidence may be shared (S, S)/(3, 3) or per-candidate (C, S, S)/(C, 3, 3)
     # (the parallel-frames mode batches several frames' candidate groups).
     def _per_candidate(x, nd):
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == nd:
-            x = jnp.broadcast_to(x[None], (C,) + x.shape)
+            x = jnp.broadcast_to(x[None], (Cp,) + x.shape)
+        else:
+            x = _padded(x)
         return x
 
     ref_c = _per_candidate(target_mask, 2)
@@ -240,7 +256,7 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
 
     def unchunked(tree):
         return jax.tree_util.tree_map(
-            lambda x: x.reshape((C,) + x.shape[2:]), tree)
+            lambda x: x.reshape((Cp,) + x.shape[2:]), tree)
 
     evidence = chunked({"ref": ref_c, "keep": keep_c, "edt": edt_c, "K": K_c})
 
@@ -251,7 +267,7 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
         (_, (total, iou)), grads = out
         return unchunked(total), unchunked(iou), unchunked(grads)
 
-    params = {"rot6d": rot6d_init, "trans": trans_init}
+    params = {"rot6d": _padded(rot6d_init), "trans": _padded(trans_init)}
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
@@ -265,7 +281,8 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
     (params, _), history = jax.lax.scan(step, (params, opt_state), None,
                                         length=num_iterations)
     total, iou, _ = loss_and_grad(params)
-    return params, total, iou, history
+    params = jax.tree_util.tree_map(lambda x: x[:C], params)
+    return params, total[:C], iou[:C], history
 
 
 def visualize_optimal_poses(vertices, faces, rotations, translations, losses,

@@ -89,15 +89,24 @@ def test_fit_video_gt_masks_end_to_end(ho3d_tree, tmp_path, monkeypatch):
     assert np.isfinite(losses).all()
     # hand metric present (GT verts available in this tree)
     assert "verts_dists_hand" in res["metrics"]
-    # resume path: state reload + 2 more iterations
+    # Step-2 refinement recipe (reference README.md:228-238): resume from the
+    # step-1 checkpoint with the SDF collision + contact terms switched on.
+    # This drives the closed-fist topology derivation through the CLI
+    # (config 3; homan/lossutils.py:43-64,112-130).
     args2 = fit_video.get_args([
         "--dataset", "ho3d", "--split", "val", "--gt_masks", "1",
         "--frame_nb", "3", "--chunk_step", "1",
         "--num_joint_iterations", "2", "--rend_size", "64",
+        "--lw_collision", "0.001", "--lw_contact", "1.0",
         "--result_root", str(tmp_path / "results2"),
         "--resume", result_root,
         "--mano_root", str(tmp_path / "no_mano"),
     ])
     fit_video.main(args2)
-    assert os.path.exists(os.path.join(
-        str(tmp_path / "results2"), "samples", "00000000", "joint_fit.npz"))
+    sample2 = os.path.join(str(tmp_path / "results2"), "samples", "00000000")
+    assert os.path.exists(os.path.join(sample2, "joint_fit.npz"))
+    with open(os.path.join(sample2, "results.pkl"), "rb") as f:
+        res2 = pickle.load(f)
+    assert "loss_collision" in res2["losses"]
+    assert "loss_contact" in res2["losses"]
+    assert np.isfinite(np.asarray(res2["losses"]["loss"])).all()

@@ -227,3 +227,52 @@ def test_stage_b_deterministic_and_empty_mask_robust():
                                   np.asarray(r2[0]["rotations"]))
     np.testing.assert_array_equal(np.asarray(r1[1]["translations"]),
                                   np.asarray(r2[1]["translations"]))
+
+
+def test_prime_candidate_count_pads_not_degrades():
+    """A candidate count that is prime relative to candidate_chunk pads to
+    the next chunk multiple (duplicated candidates, sliced off on return)
+    instead of collapsing to chunk=1; chunking must not change numerics."""
+    v, f = bumpy_potato(1, 0.09, seed=5)
+    topo = MeshTopology.from_faces(f)
+    verts = jnp.asarray(v)
+    S = 32
+    settings = RasterSettings(image_size=S, tile_px=16, faces_per_tile=192,
+                              edges_per_tile=192)
+    C = 13  # prime
+    key = jax.random.PRNGKey(1)
+    rot6d = geo.matrix_to_rot6d(geo.random_rotations(key, C))
+    trans = jnp.asarray(
+        np.random.RandomState(0).randn(C, 1, 3) * 0.02
+        + np.array([0, 0, 0.5]), jnp.float32)
+    K = jnp.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], jnp.float32)
+    target = (np.asarray(
+        rasterize_soft(verts[None] + jnp.asarray([0, 0, 0.5]), topo, K[None],
+                       settings)["sil"])[0] > 0.5).astype(np.float32)
+    tgt = jnp.asarray(target)
+    keep = jnp.ones_like(tgt)
+    edt = jnp.zeros_like(tgt)
+
+    outs = {}
+    for chunk in (C, 4):  # 4 forces pad=3 (13 -> 16)
+        params, total, iou, _ = poseinit._fit_candidates(
+            verts, topo, tgt, keep, edt, K, rot6d, trans, settings,
+            num_iterations=3, candidate_chunk=chunk)
+        assert total.shape == (C,) and iou.shape == (C,)
+        outs[chunk] = (np.asarray(params["rot6d"]),
+                       np.asarray(params["trans"]), np.asarray(total))
+    for a, b in zip(outs[C], outs[4]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    ious_full = poseinit._score_candidates(
+        verts, topo, jnp.broadcast_to(tgt, (C,) + tgt.shape),
+        jnp.broadcast_to(keep, (C,) + keep.shape),
+        jnp.broadcast_to(K, (C, 3, 3)), rot6d, trans, settings,
+        candidate_chunk=C)
+    ious_pad = poseinit._score_candidates(
+        verts, topo, jnp.broadcast_to(tgt, (C,) + tgt.shape),
+        jnp.broadcast_to(keep, (C,) + keep.shape),
+        jnp.broadcast_to(K, (C, 3, 3)), rot6d, trans, settings,
+        candidate_chunk=5)
+    np.testing.assert_allclose(np.asarray(ious_pad), np.asarray(ious_full),
+                               rtol=1e-5, atol=1e-6)

@@ -61,6 +61,41 @@ def ref(tmp_path_factory):
     _module("sdf", SDF=object)
     _module("trimesh", Trimesh=object, load=lambda *a, **k: None)
 
+    # neural_renderer stub: `projection` implements the multiperson-fork NMR
+    # formula (neural_renderer/projection.py — pinhole divide, K, y-flip,
+    # [0, orig_size] -> [-1, 1]; distortion omitted: every call site here
+    # passes zero dist_coeffs), and `renderer.Renderer` records K/R/t and
+    # returns an injected silhouette so the loss normalization downstream of
+    # the CUDA rasterizer is comparable on identical renders.
+    def _nr_projection(vertices, K=None, R=None, t=None, dist_coeffs=None,
+                       orig_size=256):
+        verts = torch.matmul(vertices, R.transpose(2, 1)) + t
+        z = verts[..., 2]
+        x_ = verts[..., 0] / (z + 1e-9)
+        y_ = verts[..., 1] / (z + 1e-9)
+        v3 = torch.stack([x_, y_, torch.ones_like(z)], dim=-1)
+        v3 = torch.matmul(v3, K.transpose(1, 2))
+        u, v = v3[..., 0], v3[..., 1]
+        v = orig_size - v
+        u = 2 * (u - orig_size / 2.0) / orig_size
+        v = 2 * (v - orig_size / 2.0) / orig_size
+        return torch.stack([u, v, z], dim=-1)
+
+    class _NrRenderer:
+        def __init__(self, image_size=None, K=None, R=None, t=None,
+                     orig_size=1, **kw):
+            self.K, self.R, self.t = K, R, t
+            self.dist_coeffs = torch.zeros(
+                (K.shape[0] if K is not None else 1, 5))
+            self.fixed_sil = None
+
+        def __call__(self, verts, faces, K=None, mode=None):
+            assert self.fixed_sil is not None, "inject fixed_sil first"
+            return self.fixed_sil
+
+    _module("neural_renderer", projection=_nr_projection,
+            renderer=types.SimpleNamespace(Renderer=_NrRenderer))
+
     class _BoxMode:
         """detectron2 BoxMode with its two absolute modes; `convert`
         implements the documented standard formulas (XYXY<->XYWH) so the
@@ -84,12 +119,13 @@ def ref(tmp_path_factory):
     _module("detectron2.structures")
     _module("detectron2.structures.boxes", BoxMode=_BoxMode)
 
-    # CPU no-ops for the reference's unconditional .cuda() calls
+    # CPU no-ops for the reference's unconditional .cuda() calls. Override
+    # unconditionally: CPU torch builds still EXPOSE torch.cuda.LongTensor,
+    # but .type(torch.cuda.LongTensor) raises at use
+    # (contactloss.py:66-70 batch_pairwise_dist use_cuda=True default).
     torch.Tensor.cuda = lambda self, *a, **k: self
-    if not hasattr(torch.cuda, "FloatTensor"):
-        torch.cuda.FloatTensor = torch.FloatTensor
-    if not hasattr(torch.cuda, "LongTensor"):
-        torch.cuda.LongTensor = torch.LongTensor
+    torch.cuda.FloatTensor = torch.FloatTensor
+    torch.cuda.LongTensor = torch.LongTensor
 
     # lossutils loads local_data/closed_fmano.npy at import with a relative
     # path; fabricate it in a temp cwd for the imports only.
@@ -107,12 +143,24 @@ def ref(tmp_path_factory):
         import homan.datasets.chunkvids as ref_chunkvids
         import homan.interactions.contactloss as ref_contactloss
         import homan.lossutils as ref_lossutils
+
+        # homan/losses.py additionally needs pairwise distances (alias the
+        # reference's own contactloss implementation — sqrt'd NOWHERE by the
+        # min-type interaction term, matching libyana's squared convention)
+        # and a mask-IoU metric (zeroed: the iou_object metric is not under
+        # loss-parity test and must not affect loss values).
+        _module("libyana.distutils",
+                batch_pairwise_dist=ref_contactloss.batch_pairwise_dist)
+        _module("libyana.metrics")
+        _module("libyana.metrics.iou",
+                batch_mask_iou=lambda a, b: torch.zeros(a.shape[0]))
+        import homan.losses as ref_losses
     finally:
         os.chdir(old_cwd)
     return types.SimpleNamespace(
         geometry=ref_geometry, camera=ref_camera, optitrans=ref_optitrans,
         chunkvids=ref_chunkvids, contactloss=ref_contactloss,
-        lossutils=ref_lossutils)
+        lossutils=ref_lossutils, losses=ref_losses)
 
 
 def test_rot6d_matrix_parity(ref):
@@ -299,3 +347,249 @@ def test_bbox_overlap_iou_parity(ref):
         a1, a2 = np.asarray(b1, np.float64), np.asarray(b2, np.float64)
         np.testing.assert_allclose(our_bbox.compute_iou(a1, a2),
                                    ref_bbox.compute_iou(a1, a2), atol=1e-9)
+
+
+def test_closed_fmano_derivation_matches_shipped():
+    """close_boundary_fan reproduces the reference's shipped closed-fist
+    topology (local_data/closed_fmano.npy, homan/lossutils.py:15): same
+    number of cap faces over the identical 16-vertex wrist ring, and both
+    meshes watertight with consistent orientation."""
+    import os
+
+    from homan_tpu.core.meshes import close_boundary_fan
+
+    path = os.path.join(REF_ROOT, "local_data", "closed_fmano.npy")
+    if not os.path.exists(path):
+        pytest.skip("reference closed_fmano.npy not present")
+    shipped = np.load(path)
+    open_faces = shipped[:1538]
+    ours = close_boundary_fan(open_faces)
+    assert ours.shape == shipped.shape
+
+    def directed_edges(f):
+        return {(int(u), int(v))
+                for tri in f
+                for u, v in ((tri[0], tri[1]), (tri[1], tri[2]),
+                             (tri[2], tri[0]))}
+
+    for closed in (shipped, ours):
+        es = directed_edges(closed)
+        assert len(es) == 3 * closed.shape[0]  # each directed edge once
+        assert all((v, u) in es for (u, v) in es)  # watertight + oriented
+    assert (set(shipped[1538:].ravel().tolist())
+            == set(ours[1538:].ravel().tolist()))  # identical wrist ring
+
+
+def _make_ref_losses(ref, camintr, ref_mask_obj, keep_mask_obj,
+                     ref_verts2d_hand=None, ref_mask_hand=None,
+                     keep_mask_hand=None, K_rois_obj=None, K_rois_hand=None,
+                     inter_type="min", hand_nb=1):
+    """Construct the reference Losses with the stub NMR renderer."""
+    B = camintr.shape[0]
+    renderer = types.SimpleNamespace(
+        K=camintr, R=torch.eye(3).expand(B, 3, 3).contiguous(),
+        t=torch.zeros(B, 1, 3))
+    V2 = (torch.zeros(B, 778, 2) if ref_verts2d_hand is None
+          else ref_verts2d_hand)
+    return ref.losses.Losses(
+        renderer=renderer,
+        ref_mask_object=ref_mask_obj,
+        ref_verts2d_hand=V2,
+        keep_mask_object=keep_mask_obj,
+        ref_mask_hand=(ref_mask_obj if ref_mask_hand is None
+                       else ref_mask_hand),
+        keep_mask_hand=(keep_mask_obj if keep_mask_hand is None
+                        else keep_mask_hand),
+        camintr_rois_object=(camintr if K_rois_obj is None else K_rois_obj),
+        camintr_rois_hand=(camintr if K_rois_hand is None else K_rois_hand),
+        camintr=camintr,
+        class_name="default",
+        inter_type=inter_type,
+        hand_nb=hand_nb,
+    )
+
+
+def test_sil_loss_normalization_parity(ref):
+    """compute_sil_loss_object normalization (homan/losses.py:185-197) and
+    the B=1 hand variant (:167-181): identical renders through both loss
+    normalizations must give identical values (keep-mask division, /B)."""
+    import jax.numpy as jnp
+    from homan_tpu.fit import losses as L
+    from homan_tpu.render import RasterSettings, rasterize_soft
+    from homan_tpu.render.rasterizer import MeshTopology
+    from homan_tpu.core.meshes import bumpy_potato
+
+    rng = np.random.RandomState(11)
+    S, B = 48, 3
+    v, f = bumpy_potato(1, 0.2, seed=4)
+    topo = MeshTopology.from_faces(f)
+    verts = (jnp.asarray(v)[None] + jnp.asarray([0.0, 0.0, 0.9]))
+    verts = jnp.concatenate(
+        [verts + jnp.asarray(rng.randn(1, 3) * 0.03, jnp.float32)
+         for _ in range(B)])
+    K = jnp.asarray(
+        np.repeat(np.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]],
+                           np.float32), B, axis=0))
+    settings = RasterSettings(image_size=S, tile_px=16, faces_per_tile=192,
+                              edges_per_tile=192)
+    rend = rasterize_soft(verts, topo, K, settings)["sil"]  # (B, S, S)
+
+    # {-1, 0, 1}-style evidence: ref = shifted render, keep knocks out a band
+    ref_mask = np.zeros((B, S, S), np.float32)
+    ref_mask[:, : S - 4, :] = np.asarray(rend)[:, 4:, :]
+    keep = np.ones((B, S, S), np.float32)
+    keep[:, :, :6] = 0.0
+
+    ours, _ = L.compute_sil_loss_object(
+        verts, topo, K, jnp.asarray(ref_mask), jnp.asarray(keep), settings)
+
+    Lref = _make_ref_losses(ref, torch.as_tensor(np.asarray(K)),
+                            torch.as_tensor(ref_mask),
+                            torch.as_tensor(keep))
+    Lref.renderer.fixed_sil = torch.as_tensor(np.asarray(rend))
+    theirs, _ = Lref.compute_sil_loss_object(
+        torch.as_tensor(np.asarray(verts)), torch.zeros(B, 1, 3))
+    np.testing.assert_allclose(float(ours["loss_sil_obj"]),
+                               float(theirs["loss_sil_obj"]), rtol=1e-5)
+
+    # hand variant (B=1: the reference's loop reassigns `verts` and only
+    # supports a single hand per call)
+    ours_h = L.compute_sil_loss_hand(
+        verts[:1], topo, K[:1], jnp.asarray(ref_mask[:1]),
+        jnp.asarray(keep[:1]), settings)
+    Lref1 = _make_ref_losses(ref, torch.as_tensor(np.asarray(K[:1])),
+                             torch.as_tensor(ref_mask[:1]),
+                             torch.as_tensor(keep[:1]))
+    Lref1.renderer.fixed_sil = torch.as_tensor(np.asarray(rend[:1]))
+    theirs_h = Lref1.compute_sil_loss_hand(
+        torch.as_tensor(np.asarray(verts[:1])), torch.zeros(1, 1, 3))
+    np.testing.assert_allclose(float(ours_h["loss_sil_hand"]),
+                               float(theirs_h["loss_sil_hand"]), rtol=1e-5)
+
+
+def test_v2d_loss_parity(ref):
+    """compute_verts2d_loss_hand value + pixel-distance metric
+    (homan/losses.py:141-164)."""
+    import jax.numpy as jnp
+    from homan_tpu.fit import losses as L
+
+    rng = np.random.RandomState(5)
+    B, img = 4, 640
+    verts = rng.randn(B, 778, 3).astype(np.float32) * 0.05
+    verts[..., 2] += 0.6
+    camintr = np.repeat(np.array([[[1.05, 0, 0.5], [0, 1.05, 0.5],
+                                   [0, 0, 1]]], np.float32), B, axis=0)
+    ref2d = (rng.rand(B, 778, 2).astype(np.float32) * 0.5 + 0.25) * img
+
+    ours_l, ours_m = L.compute_v2d_loss_hand(
+        jnp.asarray(verts), jnp.asarray(camintr), jnp.asarray(ref2d),
+        img, hand_nb=1)
+    Lref = _make_ref_losses(ref, torch.as_tensor(camintr),
+                            torch.zeros(B, 8, 8), torch.ones(B, 8, 8),
+                            ref_verts2d_hand=torch.as_tensor(ref2d))
+    theirs_l, theirs_m = Lref.compute_verts2d_loss_hand(
+        torch.as_tensor(verts), image_size=img)
+    np.testing.assert_allclose(float(ours_l["loss_v2d_hand"]),
+                               float(theirs_l["loss_v2d_hand"]), rtol=1e-4)
+    np.testing.assert_allclose(float(ours_m["v2d_hand"]),
+                               float(theirs_m["v2d_hand"]), rtol=1e-4)
+
+
+@pytest.mark.parametrize("inter_type", ["min", "centroid"])
+def test_interaction_loss_gating_parity(ref, inter_type):
+    """project_bbox overlap + z-distance gating and the interaction error
+    (homan/losses.py:98-139, 199-242). Geometry spans interacting,
+    bbox-disjoint, and z-separated frames; the reference's per-interaction
+    normalization is dead code (losses.py:231-234 assigns `loss_inter_`),
+    so the UN-normalized sum is the parity target."""
+    import jax.numpy as jnp
+    from homan_tpu.fit import losses as L
+    from homan_tpu.fit import model as M
+
+    rng = np.random.RandomState(9)
+    B = 4
+    hand = rng.randn(B, 778, 3).astype(np.float32) * 0.03
+    obj = rng.randn(B, 300, 3).astype(np.float32) * 0.04
+    hand[..., 2] += 0.6
+    obj[..., 2] += 0.6
+    # frame 1: push object out of the hand's bbox in x; frame 2: z-separate
+    # beyond thresh=3; frame 3: interacting but offset slightly
+    obj[1, :, 0] += 0.9
+    obj[2, :, 2] += 4.0
+    obj[3, :, :2] += 0.02
+    camintr = np.repeat(np.array([[[1.0, 0, 0.5], [0, 1.0, 0.45],
+                                   [0, 0, 1]]], np.float32), B, axis=0)
+
+    cfg = M.HomanConfig(hand_sides=("right",), inter_type=inter_type)
+    ours_l, ours_m = L.compute_interaction_loss(
+        jnp.asarray(hand), jnp.asarray(obj), jnp.asarray(camintr), cfg)
+
+    Lref = _make_ref_losses(ref, torch.as_tensor(camintr),
+                            torch.zeros(B, 8, 8), torch.ones(B, 8, 8),
+                            inter_type=inter_type)
+    # gating decisions
+    gates = Lref.assign_interaction_pairs(torch.as_tensor(hand),
+                                          torch.as_tensor(obj))
+    assert gates == [1, 0, 0, 1]
+    theirs_l, theirs_m = Lref.compute_interaction_loss(
+        torch.as_tensor(hand)[:, None], torch.as_tensor(obj)[:, None])
+    np.testing.assert_allclose(float(ours_l["loss_inter"]),
+                               float(theirs_l["loss_inter"]), rtol=1e-4)
+    np.testing.assert_allclose(float(ours_m["handobj_maxdist"]),
+                               float(theirs_m["handobj_maxdist"]), rtol=1e-4)
+
+
+def test_contact_loss_parity_stubbed_sdf(ref, monkeypatch):
+    """compute_contact_loss on stubbed SDF values
+    (homan/interactions/contactloss.py:149-309): identical signed SDF
+    samples drive both implementations' masks, tanh saturations,
+    masked means and penetration metrics."""
+    import jax.numpy as jnp
+    from homan_tpu.interactions import contact
+
+    rng = np.random.RandomState(3)
+    B, Vo = 2, 120
+    hand = rng.randn(B, 778, 3).astype(np.float32) * 0.03
+    obj = (rng.randn(B, Vo, 3).astype(np.float32) * 0.02
+           + np.array([0.01, 0, 0], np.float32))
+    # signed stub: ~30% of hand verts "penetrating" (>= 0 in our convention
+    # mirrors the reference's clamped grids; signed values exercise the
+    # mask logic in both directions)
+    sdf_vals = (rng.rand(B, 778).astype(np.float32) - 0.3)
+
+    class _StubSDFL:
+        def __init__(self, faces_list):
+            pass
+
+        def __call__(self, verts_list):
+            return None, {"dist_values": {
+                (1, 0): torch.as_tensor(sdf_vals),
+                (0, 1): torch.zeros(B, Vo)}}
+
+    monkeypatch.setattr(ref.contactloss.scenesdf, "SDFSceneLoss", _StubSDFL)
+
+    for c_mode, z in [("dist_tanh", "all"), ("dist", "all"),
+                      ("dist_sq", "all"), ("dist_tanh", "tips")]:
+        theirs = ref.contactloss.compute_contact_loss(
+            torch.as_tensor(hand), [torch.zeros(10, 3).long()],
+            torch.as_tensor(obj), [torch.zeros(10, 3).long()],
+            contact_mode=c_mode, collision_mode=c_mode, contact_zones=z)
+        t_missed, t_penetr, t_info, t_metrics = theirs
+        ours = contact.compute_contact_loss(
+            jnp.asarray(hand), None, jnp.asarray(obj), None,
+            contact_mode=c_mode, collision_mode=c_mode, contact_zones=z,
+            obj_sdf_at_hand=jnp.asarray(sdf_vals))
+        o_missed, o_penetr, o_info, o_metrics = ours
+        np.testing.assert_allclose(float(o_missed), float(t_missed),
+                                   rtol=1e-4, atol=1e-7, err_msg=c_mode)
+        np.testing.assert_allclose(float(o_penetr), float(t_penetr),
+                                   rtol=1e-4, atol=1e-7, err_msg=c_mode)
+        np.testing.assert_array_equal(
+            np.asarray(o_info["attraction_masks"]),
+            np.asarray(t_info["attraction_masks"].bool()))
+        np.testing.assert_array_equal(
+            np.asarray(o_info["repulsion_masks"]),
+            np.asarray(t_info["repulsion_masks"].bool()))
+        for k in ("max_penetr", "mean_penetr"):
+            np.testing.assert_allclose(float(o_metrics[k]),
+                                       float(t_metrics[k]), rtol=1e-4)
