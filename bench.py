@@ -176,6 +176,34 @@ def bench_multiclip(n_clips: int, frames: int, iters: int, rend: int,
     return elapsed, compile_s
 
 
+def bench_depth(frames: int, iters: int, rend: int, subdiv: int):
+    """Joint fit with the ordinal-depth term on (lw_depth=1): renders object
+    + each hand at FULL image size every iteration through the XLA depth
+    path (homan/lossutils.py:133-169 workload; fit/losses.py:410-428)."""
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.frontend.gtsynth import make_synthetic_scene
+    from homan_tpu.fit import joint
+    from homan_tpu.render import RasterSettings
+
+    scene = make_synthetic_scene(
+        seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
+        rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0),
+        with_full_masks=True)
+    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=64)
+
+    def run():
+        final, _ = joint.optimize_hand_object(
+            scene.init_state, scene.consts, scene.cfg,
+            loss_weights={"lw_depth": 1.0},
+            num_iterations=iters, roi_settings=settings)
+        return final
+
+    elapsed, compile_s, _ = _timed(run)
+    return elapsed, compile_s
+
+
 def bench_pipeline(frames: int, inits: int, obj_iters: int, joint_iters: int,
                    rend: int, subdiv: int):
     """Stages A+B+C end to end for one clip (GT-mask evidence path)."""
@@ -247,6 +275,9 @@ def main():
     mc, mc_c = bench_multiclip(n_clips, extras_cfg["frames"],
                                iters if args.preset == "full" else 5,
                                extras_cfg["rend"], extras_cfg["subdiv"])
+    depth_iters = 100 if args.preset == "full" else 5
+    dp, dp_c = bench_depth(extras_cfg["frames"], depth_iters,
+                           extras_cfg["rend"], extras_cfg["subdiv"])
 
     ec = extras_cfg
     result = {
@@ -259,10 +290,12 @@ def main():
                 round(sb, 3),
             f"pipeline_{ec['frames']}f_s": round(pl, 3),
             f"multiclip_{n_clips}x{ec['frames']}f_s": round(mc, 3),
+            f"depth_{ec['frames']}f_{depth_iters}it_s": round(dp, 3),
             "compile_s": {"joint": round(compile_s, 1),
                           "stageb": round(sb_c, 1),
                           "pipeline": round(pl_c, 1),
-                          "multiclip": round(mc_c, 1)},
+                          "multiclip": round(mc_c, 1),
+                          "depth": round(dp_c, 1)},
         },
     }
     print(json.dumps(result))

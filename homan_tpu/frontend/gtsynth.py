@@ -55,6 +55,7 @@ def make_synthetic_scene(
     perturb: float = 0.04,
     mano_layer: ManoLayer | None = None,
     obj_mesh=None,
+    with_full_masks: bool = False,
 ) -> SyntheticScene:
     """Build a synthetic clip: object + hand(s) moving smoothly in front of a
     camera, evidence rendered from the GT, and an initial state perturbed away
@@ -173,6 +174,27 @@ def make_synthetic_scene(
 
     ref_verts2d = cam.batch_proj2d(gt_verts_hand, rois_hand) * image_size
 
+    # Full-image entity masks feed only the ordinal-depth loss (reference
+    # semantics: homan.py's `masks` buffers are image-sized, unlike the
+    # rend_size ROI targets above). Rendered on demand to keep the common
+    # path cheap.
+    if with_full_masks:
+        full_obj = RasterSettings(image_size=image_size, tile_px=16,
+                                  faces_per_tile=min(
+                                      512, int(ofaces.shape[0]) + 64))
+        full_hand = RasterSettings(image_size=image_size, tile_px=16,
+                                   faces_per_tile=min(
+                                       1024, int(faces_hand.shape[0]) + 64))
+        masks_object = rasterize_soft(gt_verts_object, obj_topo, camintr,
+                                      full_obj)["sil"] > 0.5
+        masks_hand = rasterize_soft(gt_verts_hand, hand_topo, rois_hand,
+                                    full_hand)["sil"] > 0.5
+        masks_object = masks_object.astype(jnp.float32)
+        masks_hand = masks_hand.astype(jnp.float32)
+    else:
+        masks_object = consts_partial.masks_object
+        masks_hand = consts_partial.masks_hand
+
     consts = dataclasses.replace(
         consts_partial,
         verts_hand_og=gt_verts_hand,
@@ -181,8 +203,8 @@ def make_synthetic_scene(
         keep_mask_object=(obj_target >= 0).astype(jnp.float32),
         ref_mask_hand=(hand_target > 0).astype(jnp.float32),
         keep_mask_hand=(hand_target >= 0).astype(jnp.float32),
-        masks_object=obj_sil.astype(jnp.float32),
-        masks_hand=hand_sil.astype(jnp.float32),
+        masks_object=masks_object,
+        masks_hand=masks_hand,
     )
 
     # --- Perturbed init ------------------------------------------------------

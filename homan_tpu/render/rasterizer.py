@@ -495,8 +495,16 @@ def rasterize_hard(verts: jnp.ndarray,
                    background: float = 1.0,
                    light_dir=(0.57735, 0.57735, -0.57735),
                    ambient: float = 0.55,
-                   diffuse: float = 0.45):
+                   diffuse: float = 0.45,
+                   shading: str = "phong",
+                   specular: float = 0.2,
+                   shininess: float = 32.0):
     """Hard z-buffer rasterization for visualization (non-differentiable).
+
+    shading="phong" interpolates vertex normals per pixel (perspective
+    -correct barycentrics) and adds a Blinn-Phong specular highlight — the
+    look of the reference's pytorch3d eval renders (homan/viz/renderot.py:
+    71-106 HardPhongShader path); "flat" keeps per-face Lambertian shading.
 
     Args:
       verts: (B, V, 3); topology: MeshTopology or (F, 3); K normalized.
@@ -506,13 +514,15 @@ def rasterize_hard(verts: jnp.ndarray,
     """
     return _rasterize_hard(verts, as_topology(topology).faces, K, face_colors,
                            settings, background, tuple(light_dir), ambient,
-                           diffuse)
+                           diffuse, shading, specular, shininess)
 
 
 @partial(jax.jit, static_argnames=("settings", "background", "light_dir",
-                                   "ambient", "diffuse"))
+                                   "ambient", "diffuse", "shading",
+                                   "specular", "shininess"))
 def _rasterize_hard(verts, faces, K, face_colors, settings: RasterSettings,
-                    background, light_dir, ambient, diffuse):
+                    background, light_dir, ambient, diffuse, shading,
+                    specular, shininess):
     s = settings
     S, tp = s.image_size, s.tile_px
     g = S // tp
@@ -533,6 +543,12 @@ def _rasterize_hard(verts, faces, K, face_colors, settings: RasterSettings,
         normals = normals / jnp.maximum(
             jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
         shade = ambient + diffuse * jnp.abs(normals @ light)  # two-sided
+        # Area-weighted vertex normals for smooth (Phong) shading.
+        vnorm = jnp.zeros_like(v)
+        for ci in range(3):
+            vnorm = vnorm.at[faces[:, ci]].add(normals)
+        vnorm = vnorm / jnp.maximum(
+            jnp.linalg.norm(vnorm, axis=-1, keepdims=True), 1e-9)
         area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
         valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
         idx, hit = _bin_boxes(tri_uv.min(1), tri_uv.max(1), valid, s,
@@ -548,16 +564,41 @@ def _rasterize_hard(verts, faces, K, face_colors, settings: RasterSettings,
                       | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))) & h[None, :]
             ar = _edge_fn(a, b, c)
             denom = jnp.where(jnp.abs(ar) > 1e-12, ar, 1.0)
-            inv_z = (e0 / denom / jnp.maximum(tz[None, :, 0], 1e-6)
-                     + e1 / denom / jnp.maximum(tz[None, :, 1], 1e-6)
-                     + e2 / denom / jnp.maximum(tz[None, :, 2], 1e-6))
+            w0, w1, w2 = e0 / denom, e1 / denom, e2 / denom  # screen bary
+            inv_z = (w0 / jnp.maximum(tz[None, :, 0], 1e-6)
+                     + w1 / jnp.maximum(tz[None, :, 1], 1e-6)
+                     + w2 / jnp.maximum(tz[None, :, 2], 1e-6))
             z_pix = 1.0 / jnp.maximum(inv_z, 1e-6)
             z_buf = jnp.where(inside, z_pix, 1e6)
             best = jnp.argmin(z_buf, axis=-1)  # (P,)
             covered = jnp.take_along_axis(inside, best[:, None], -1)[:, 0]
             zsel = jnp.take_along_axis(z_buf, best[:, None], -1)[:, 0]
             face_sel = fidx[best]
-            rgb = fcol[face_sel] * shade[face_sel][:, None]
+            if shading == "phong":
+                # Perspective-correct barycentrics of the winning face.
+                def sel(w):
+                    return jnp.take_along_axis(w, best[:, None], -1)[:, 0]
+                tz_b = tz[best]  # (P, 3)
+                bar = jnp.stack([sel(w0), sel(w1), sel(w2)], -1)
+                bar = bar / jnp.maximum(tz_b, 1e-6)
+                bar = bar / jnp.maximum(bar.sum(-1, keepdims=True), 1e-9)
+                f_v = faces[face_sel]            # (P, 3) vertex ids
+                n_pix = jnp.einsum("pc,pcd->pd", bar, vnorm[f_v])
+                n_pix = n_pix / jnp.maximum(
+                    jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-9)
+                p3d = jnp.einsum("pc,pcd->pd", bar, v[f_v])
+                view = -p3d / jnp.maximum(
+                    jnp.linalg.norm(p3d, axis=-1, keepdims=True), 1e-9)
+                half = light[None, :] + view
+                half = half / jnp.maximum(
+                    jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-9)
+                lam = ambient + diffuse * jnp.abs(n_pix @ light)
+                spec = specular * jnp.abs(
+                    jnp.einsum("pd,pd->p", n_pix, half)) ** shininess
+                rgb = fcol[face_sel] * lam[:, None] + spec[:, None]
+                rgb = jnp.clip(rgb, 0.0, 1.0)
+            else:
+                rgb = fcol[face_sel] * shade[face_sel][:, None]
             rgb = jnp.where(covered[:, None], rgb, background)
             return rgb, jnp.where(covered, zsel, 0.0), covered
 
