@@ -54,7 +54,7 @@ def bench_joint(frames: int, iters: int, rend: int, subdiv: int):
         rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0))
     tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
     settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=64)
+                              edges_per_tile=48)
 
     def run():
         final, history = joint.optimize_hand_object(
@@ -126,7 +126,7 @@ def bench_stageb(frames: int, inits: int, obj_iters: int, rend: int,
         annotations.append(info)
     tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
     settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=64)
+                              edges_per_tile=48)
 
     def run():
         res = poseinit.find_optimal_poses(
@@ -164,7 +164,7 @@ def bench_multiclip(n_clips: int, frames: int, iters: int, rend: int,
     consts = par.stack_clips([s.consts for s in scenes])
     tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
     settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=64)
+                              edges_per_tile=48)
 
     def run():
         final, _ = par.fit_clips_batched(
@@ -191,7 +191,7 @@ def bench_depth(frames: int, iters: int, rend: int, subdiv: int):
         with_full_masks=True)
     tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
     settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=64)
+                              edges_per_tile=48)
 
     def run():
         final, _ = joint.optimize_hand_object(
@@ -221,7 +221,7 @@ def bench_pipeline(frames: int, inits: int, obj_iters: int, joint_iters: int,
                         stageb_parallel_frames=0)
     tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
     settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=64)
+                              edges_per_tile=48)
 
     def run():
         indep = prepare_independent_fit(annots, args, None, layer,

@@ -38,10 +38,15 @@ from homan_tpu.fit.losses import batch_mask_iou
 RENDER_FAR = 100.0  # NMR renderer default far plane
 
 
-def compute_optimal_translation(bbox_target_xywh, vertices, f: float,
+@partial(jax.jit, static_argnames=("img_size", "iters"))
+def compute_optimal_translation(bbox_target_xywh, vertices, f,
                                 img_size: int = 256, iters: int = 50):
     """Iterative depth/center fit of projected bbox to a target bbox
-    (homan/lib3d/optitrans.py:49-80). vertices: (B, V, 3) already rotated."""
+    (homan/lib3d/optitrans.py:49-80). vertices: (B, V, 3) already rotated.
+
+    Module-level jit: an eager fori_loop re-traces AND re-compiles its body
+    on every call (the closure is a fresh callable each time, so JAX's
+    jaxpr cache misses) — ~1 s per call over the compile relay."""
     bbox = jnp.asarray(bbox_target_xywh, jnp.float32)
     mask_center = bbox[:2] + bbox[2:] / 2
     diag_mask = jnp.sqrt(bbox[2] ** 2 + bbox[3] ** 2)
@@ -72,10 +77,14 @@ def compute_optimal_translation(bbox_target_xywh, vertices, f: float,
     return jnp.stack([x, y, z], axis=-1)[:, None, :]
 
 
+@partial(jax.jit, static_argnames=("iters",))
 def tco_init_from_boxes_autodepth(bbox_xywh, model_points_3d, K_px,
                                   iters: int = 10):
     """BOP20-style auto-depth translation init
     (homan/lib3d/optitrans.py:83-127).
+
+    Module-level jit: see compute_optimal_translation — the eager fori_loop
+    otherwise recompiles per call (measured 10x ~1 s per 10-frame clip).
 
     Args:
       bbox_xywh: (4,) target box, pixels.
@@ -350,6 +359,7 @@ def find_optimal_poses(
     coarse_iterations: int = 35,
     parallel_frames: bool = False,
     refine_scale: float = 0.5,
+    candidate_chunk: int = 125,
 ) -> List[Dict]:
     """Per-frame candidate refinement + best-motion selection
     (homan/pose_optimization.py:386-488).
@@ -470,7 +480,8 @@ def find_optimal_poses(
             c_params, _, c_ious, _ = _fit_candidates(
                 vertices, topo, ref_r, keep_r, edt_r, K_roi,
                 rot6d, trans, refine_settings,
-                num_iterations=coarse_iterations, lw_chamfer=0.0)
+                num_iterations=coarse_iterations, lw_chamfer=0.0,
+                candidate_chunk=candidate_chunk)
             keep_idx = jnp.argsort(-c_ious)[:prune_to]
             rot6d = c_params["rot6d"][keep_idx]
             trans = c_params["trans"][keep_idx]
@@ -478,7 +489,8 @@ def find_optimal_poses(
         params, losses, ious, history = _fit_candidates(
             vertices, topo, ref_r, keep_r, edt_r, K_roi,
             rot6d, trans, refine_settings,
-            num_iterations=num_iterations, lw_chamfer=lw_chamfer)
+            num_iterations=num_iterations, lw_chamfer=lw_chamfer,
+            candidate_chunk=candidate_chunk)
 
         rot_final = geo.rot6d_to_matrix(params["rot6d"])
         previous_rotations = jax.lax.stop_gradient(rot_final)
@@ -518,10 +530,16 @@ def find_optimal_poses(
                 jnp.asarray(K, jnp.float32))[:, None, :])
         n_rest = len(rest)
         cat = lambda xs: jnp.concatenate(xs, axis=0)
+        # Larger chunks amortize per-dispatch and per-kernel-instance
+        # overhead across frame groups; 3x was the measured optimum on v5e
+        # (9 frames x 125 candidates: chunk 125 -> 4.7 s, 375 -> 3.6 s,
+        # 1125 -> 4.3 s) — the Pallas analytic-VJP backward removed the HBM
+        # pressure that originally forced 125.
         params, losses, ious, _ = _fit_candidates(
             vertices, topo, cat(refs), cat(keeps), cat(edts), cat(Krois),
             jnp.tile(rot6d0, (n_rest, 1, 1)), cat(transs), refine_settings,
-            num_iterations=num_iterations, lw_chamfer=lw_chamfer)
+            num_iterations=num_iterations, lw_chamfer=lw_chamfer,
+            candidate_chunk=min(3 * candidate_chunk, n_rest * C))
         rot_final = geo.rot6d_to_matrix(params["rot6d"]).reshape(
             n_rest, C, 3, 3)
         rot6d_final = params["rot6d"].reshape(n_rest, C, 3, 2)
@@ -560,7 +578,8 @@ def find_optimal_poses(
             [jnp.broadcast_to(full_evidence[t][2][None], (C, 3, 3))
              for t in range(T)])
         ious_full = _score_candidates(vertices, topo, refs, keeps, Ks_all,
-                                      rot6d_all, trans_all, settings)
+                                      rot6d_all, trans_all, settings,
+                                      candidate_chunk=candidate_chunk)
         all_ious = list(ious_full.reshape(T, C))
 
     all_ious = jnp.stack(all_ious)  # (T, C)

@@ -14,11 +14,21 @@ intermediates per tile in the backward pass; this kernel keeps the whole
             clamped projection parameter t (exactly what XLA autodiff
             computes, without the (P x Ke) mask materialization).
 
-Per-tile packed inputs (built in XLA, gathers stay outside the kernel):
-  seg_pack (B, T, 8, Ke): rows = [p0x, p0y, p1x, p1y, sign, valid, 0, 0]
-  anchors  (B, T, tp, tp): per-pixel winding anchors (x > tile right edge)
+Lane-dense pixel layout: a (tile_px, tile_px) block maps poorly onto the
+VPU's (8, 128) vector registers when tile_px < 128 (a 32x32 f32 array pads
+its 32 lanes to 128 -> 4x idle lanes on every elementwise op). When
+tile_px^2 is a multiple of 128 the kernels therefore work on the tile's
+pixels FLATTENED to (tile_px^2 / 128, 128) — e.g. tile_px=32 -> (8, 128),
+exactly one fully-dense vreg — recovering pixel coordinates from a flat
+iota. The XLA caller reshapes the per-pixel buffers (anchors, sil, amin,
+gcot) to the flat layout around the pallas_call (free: layout-only).
+Small tiles with tile_px^2 < 128 keep the 2D form.
 
-The kernel grid is (B, T); each instance shades one (tp, tp) pixel block.
+Per-tile packed inputs (built in XLA, gathers stay outside the kernel):
+  seg_pack (B, T, 8, Ke): rows = [p0x, p0y, p1x, p1y, sign, valid, flip, 0]
+  anchors  (B, T, R, 128) flat (or (B, T, tp, tp) when tp^2 < 128)
+
+The kernel grid is (B, T); each instance shades one tile.
 """
 from __future__ import annotations
 
@@ -35,11 +45,25 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def pix_shape(tile_px: int):
+    """In-kernel pixel-array shape: lane-dense flat form when possible."""
+    P = tile_px * tile_px
+    if P % 128 == 0:
+        return (P // 128, 128)
+    return (tile_px, tile_px)
 
-def _pixel_grids(tile_px: int, image_size: int, g: int):
-    """(tile_px, tile_px) pixel-index grids (TPU iota must be integer)."""
-    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_px, tile_px), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_px, tile_px), 1)
+
+def _pixel_grids(tile_px: int):
+    """ix, iy pixel-index grids (float) in the kernel's pixel-array shape."""
+    shape = pix_shape(tile_px)
+    if shape == (tile_px, tile_px):
+        iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    else:
+        pid = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
+               + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        iy = pid // tile_px
+        ix = pid % tile_px
     return ix.astype(jnp.float32), iy.astype(jnp.float32)
 
 
@@ -49,7 +73,7 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
     t = pl.program_id(1)
     gx = (t % g).astype(jnp.float32)
     gy = (t // g).astype(jnp.float32)
-    ix, iy = _pixel_grids(tile_px, image_size, g)
+    ix, iy = _pixel_grids(tile_px)
     inv_s = 1.0 / image_size
     px = (gx * tile_px + ix + 0.5) * inv_s
     py = (gy * tile_px + iy + 0.5) * inv_s
@@ -78,8 +102,8 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
     # w_other = w - flip*sign(cross2d); flip (packed row 6) is the winding
     # jump across the directed edge. A pixel exactly on the edge line keeps
     # the edge (pre-fix behavior).
-    d2min = jnp.full((tile_px, tile_px), cap2, jnp.float32)
-    amin = jnp.full((tile_px, tile_px), -1, jnp.int32)
+    d2min = jnp.full(pix_shape(tile_px), cap2, jnp.float32)
+    amin = jnp.full(pix_shape(tile_px), -1, jnp.int32)
     for k in range(ke):
         ax = seg_ref[0, 0, 0, k]
         ay = seg_ref[0, 0, 1, k]
@@ -113,7 +137,7 @@ def _shade_bwd_kernel(seg_ref, sil_ref, amin_ref, gcot_ref, gseg_ref, *,
     t = pl.program_id(1)
     gx = (t % g).astype(jnp.float32)
     gy = (t // g).astype(jnp.float32)
-    ix, iy = _pixel_grids(tile_px, image_size, g)
+    ix, iy = _pixel_grids(tile_px)
     inv_s = 1.0 / image_size
     px = (gx * tile_px + ix + 0.5) * inv_s
     py = (gy * tile_px + iy + 0.5) * inv_s
@@ -157,6 +181,20 @@ def _shade_bwd_kernel(seg_ref, sil_ref, amin_ref, gcot_ref, gseg_ref, *,
         gseg_ref[0, 0, 7, k] = 0.0
 
 
+def _flatten_px(x, tile_px: int):
+    """(B, T, tp, tp) -> the kernel's pixel layout (layout-only reshape)."""
+    shape = pix_shape(tile_px)
+    if shape == (tile_px, tile_px):
+        return x
+    return x.reshape(x.shape[:2] + shape)
+
+
+def _unflatten_px(x, tile_px: int):
+    if x.shape[2:] == (tile_px, tile_px):
+        return x
+    return x.reshape(x.shape[:2] + (tile_px, tile_px))
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def shade_tiles_pallas(seg_pack, anchors, static):
     """(B, T, tp, tp) soft silhouette tiles.
@@ -173,6 +211,7 @@ def shade_tiles_pallas(seg_pack, anchors, static):
 def _shade_fwd(seg_pack, anchors, static):
     tile_px, image_size, g, sigma, cap2, ke = static
     B, T = seg_pack.shape[:2]
+    ps = pix_shape(tile_px)
     kern = partial(_shade_fwd_kernel, tile_px=tile_px, image_size=image_size,
                    g=g, sigma=sigma, cap2=cap2, ke=ke)
     sil, amin = pl.pallas_call(
@@ -181,22 +220,22 @@ def _shade_fwd(seg_pack, anchors, static):
         in_specs=[
             pl.BlockSpec((1, 1, 8, ke), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1) + ps, lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1) + ps, lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1) + ps, lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, tile_px, tile_px), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, tile_px, tile_px), jnp.int32),
+            jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
+            jax.ShapeDtypeStruct((B, T) + ps, jnp.int32),
         ],
         interpret=_interpret(),
-    )(seg_pack, anchors)
-    return sil, amin
+    )(seg_pack, _flatten_px(anchors, tile_px))
+    return _unflatten_px(sil, tile_px), amin
 
 
 def _shade_fwd_vjp(seg_pack, anchors, static):
@@ -208,6 +247,7 @@ def _shade_bwd_vjp(static, residuals, gcot):
     tile_px, image_size, g, sigma, cap2, ke = static
     seg_pack, sil, amin = residuals
     B, T = seg_pack.shape[:2]
+    ps = pix_shape(tile_px)
     kern = partial(_shade_bwd_kernel, tile_px=tile_px, image_size=image_size,
                    g=g, sigma=sigma, cap2=cap2, ke=ke)
     gseg = pl.pallas_call(
@@ -216,18 +256,19 @@ def _shade_bwd_vjp(static, residuals, gcot):
         in_specs=[
             pl.BlockSpec((1, 1, 8, ke), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1) + ps, lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1) + ps, lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_px, tile_px), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, 1) + ps, lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 8, ke), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, 8, ke), jnp.float32),
         interpret=_interpret(),
-    )(seg_pack, sil, amin, gcot)
+    )(seg_pack, _flatten_px(sil, tile_px), amin,
+      _flatten_px(gcot, tile_px))
     return gseg, None
 
 
