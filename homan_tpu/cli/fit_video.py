@@ -71,6 +71,13 @@ def get_args(argv=None):
                              "faster config-3 steps on TPU, identical "
                              "converged IoU), 'grid' = strict reference "
                              "voxelize+trilinear semantics")
+    parser.add_argument("--collision_mode", default="sdf",
+                        choices=["sdf", "tritri"],
+                        help="collision backend: 'sdf' (reference default "
+                             "branch) or 'tritri' (TPU-native equivalent "
+                             "of the reference's BVH mesh_intersection "
+                             "branch: exact triangle-intersection pairs, "
+                             "point-to-plane penetration)")
     parser.add_argument("--rend_size", default=256, type=int)
     parser.add_argument("--stageb_parallel_frames", choices=[0, 1], default=0,
                         type=int,
@@ -104,7 +111,7 @@ def get_args(argv=None):
 def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
                        obj_faces, camintr_nc, hand_sides, mano_layer,
                        image_size, rend_size, masks_shape,
-                       sdf_mode="direct"):
+                       sdf_mode="direct", collision_mode="sdf"):
     """person/object parameter dicts -> (state, consts, cfg)
     (homan/jointopt.py:52-124 role)."""
     import jax.numpy as jnp
@@ -114,7 +121,8 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
     B = len(object_parameters)
     H = len(hand_sides)
     cfg = M.HomanConfig(hand_sides=tuple(hand_sides), image_size=image_size,
-                        rend_size=rend_size, sdf_mode=sdf_mode)
+                        rend_size=rend_size, sdf_mode=sdf_mode,
+                        collision_mode=collision_mode)
 
     obj_trans = np.concatenate([np.asarray(o["translations"])
                                 for o in object_parameters])
@@ -261,7 +269,8 @@ def main(args):
             indep["person_parameters"], indep["object_parameters"],
             indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
             indep["hand_sides"], mano_layer, image_size, args.rend_size,
-            (image_size, image_size), sdf_mode=args.sdf_mode)
+            (image_size, image_size), sdf_mode=args.sdf_mode,
+            collision_mode=args.collision_mode)
         if state_override is not None:
             state = postprocess.state_from_dict(state_override)
 

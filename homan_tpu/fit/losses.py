@@ -374,12 +374,24 @@ def compute_all_losses(state: M.HomanState, consts: M.HomanConsts,
         # shares one SDFSceneLoss, homan/lossutils.py:43-64, 112-130).
         assert closed_hand_faces is not None, \
             "collision/contact need closed MANO faces"
-        loss_dict.update(compute_interaction_sdf_terms(
-            verts_hand_detscale, verts_object,
-            _faces_of(consts.faces_object), closed_hand_faces, cfg.hand_nb,
-            with_collision=lw["lw_collision"] > 0,
-            with_contact=lw["lw_contact"] > 0,
-            sdf_mode=cfg.sdf_mode))
+        tritri = (cfg.collision_mode == "tritri"
+                  and lw["lw_collision"] > 0)
+        if tritri:
+            # BVH-branch equivalent (homan/lossutils.py:66-104): exact
+            # triangle-intersection pairs, point-to-plane penetration.
+            from homan_tpu.interactions.intersect import (
+                compute_collision_loss_tritri)
+            loss_dict["loss_collision"] = compute_collision_loss_tritri(
+                verts_hand_detscale, closed_hand_faces, verts_object,
+                _faces_of(consts.faces_object), cfg.hand_nb)
+        if lw["lw_contact"] > 0 or not tritri:
+            loss_dict.update(compute_interaction_sdf_terms(
+                verts_hand_detscale, verts_object,
+                _faces_of(consts.faces_object), closed_hand_faces,
+                cfg.hand_nb,
+                with_collision=lw["lw_collision"] > 0 and not tritri,
+                with_contact=lw["lw_contact"] > 0,
+                sdf_mode=cfg.sdf_mode))
     if lw["lw_v2d_hand"] > 0:
         l, m = compute_v2d_loss_hand(verts_hand, consts.camintr,
                                      consts.ref_verts2d_hand, cfg.image_size,

@@ -68,6 +68,12 @@ class HomanConfig:
     # mode-invariant (its reference-quirk exterior mask never reads the
     # values), so the modes differ only in the collision term's smoothing.
     sdf_mode: str = "direct"
+    # Collision term backend: "sdf" (the reference default branch,
+    # homan/lossutils.py:49-64) or "tritri" — the TPU-native equivalent of
+    # the reference's optional BVH mesh_intersection branch
+    # (lossutils.py:66-104): exact triangle-triangle intersection pairs
+    # penalized by point-to-plane penetration (interactions/intersect.py).
+    collision_mode: str = "sdf"
 
     @property
     def hand_nb(self) -> int:
