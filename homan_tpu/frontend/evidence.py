@@ -152,6 +152,58 @@ def process_hand_estimates(estimates: Dict[str, Dict],
     return out
 
 
+def process_body_estimates(body_estimates: Optional[List[Dict]],
+                           bboxes_xyxy: np.ndarray,
+                           image_size: int = 640,
+                           masks: Optional[np.ndarray] = None) -> Dict:
+    """Body-mocap variant of the evidence assembly (homan/mocap.py:116-179).
+
+    Rescales each person's weak-perspective camera from its 224-crop frame
+    to the detection box, sorts people left to right by bbox x (the
+    reference's debugging convention), and resizes person masks to the
+    square image frame for the ordinal-depth loss.
+
+    Args:
+      body_estimates: per-person dicts with pred_vertices_smpl (V, 3),
+        faces (F, 3), pred_camera (3,) weak-persp in the 224 crop,
+        bbox_scale_ratio (float), global_cams (3,); or None (boxes only).
+      bboxes_xyxy: (N, 4).
+      masks: optional (N, H, W) person bitmasks.
+    Returns:
+      person_parameters dict: bboxes (+ cams/local_cams/verts/faces when
+      estimates are given, masks when masks are given), all sorted.
+    """
+    bboxes_xyxy = np.asarray(bboxes_xyxy, np.float32)
+    inds = np.argsort(bboxes_xyxy[:, 0])
+    out: Dict = {"bboxes": bboxes_xyxy[inds]}
+    if body_estimates is not None:
+        verts = np.stack([np.asarray(p["pred_vertices_smpl"], np.float32)
+                          for p in body_estimates])
+        faces = np.asarray(body_estimates[0]["faces"], np.int32)[None]
+        max_dim = np.max(bbox_ops.bbox_xy_to_wh(bboxes_xyxy)[:, 2:], axis=1)
+        local_cams, global_cams = [], []
+        for b, pred in zip(max_dim, body_estimates):
+            local_cam = np.asarray(pred["pred_camera"], np.float32).copy()
+            scale_o2n = float(pred["bbox_scale_ratio"]) * b / 224.0
+            local_cam[0] /= scale_o2n
+            local_cam[1:] /= local_cam[:1]
+            local_cams.append(local_cam)
+            global_cams.append(np.asarray(pred["global_cams"], np.float32))
+        out.update(
+            cams=np.stack(global_cams)[inds],
+            local_cams=np.stack(local_cams)[inds],
+            verts=verts[inds],
+            faces=faces,
+        )
+    if masks is not None:
+        full = np.tile(np.asarray([[0, 0, image_size, image_size]],
+                                  np.float32), (len(bboxes_xyxy), 1))
+        resized = mask_lib.crop_and_resize(
+            np.asarray(masks, np.float32), full, image_size)
+        out["masks"] = resized[inds]
+    return out
+
+
 def get_frame_infos(images: Sequence[np.ndarray],
                     hand_provider,
                     mask_provider,

@@ -155,12 +155,33 @@ def ref(tmp_path_factory):
         _module("libyana.metrics.iou",
                 batch_mask_iou=lambda a, b: torch.zeros(a.shape[0]))
         import homan.losses as ref_losses
+
+        # homan/mocap.py: external nets stubbed (only the pure cam/sort
+        # math of process_mocap_predictions is under test); BitMasks with
+        # detectron2's documented crop_and_resize contract (ROIAlign crop
+        # to mask_size, threshold 0.5) via bilinear resize for the
+        # full-image boxes used at mocap.py:173-177.
+        class _BitMasks:
+            def __init__(self, t):
+                self.t = torch.as_tensor(np.asarray(t, np.float32))
+
+            def crop_and_resize(self, boxes, mask_size):
+                out = torch.nn.functional.interpolate(
+                    self.t[:, None], size=(mask_size, mask_size),
+                    mode="bilinear", align_corners=False)[:, 0]
+                return out > 0.5
+
+        _module("detectron2.structures.masks", BitMasks=_BitMasks)
+        _module("handmocap")
+        _module("handmocap.hand_mocap_api", HandMocap=object)
+        _module("handmocap.hand_bbox_detector", HandBboxDetector=object)
+        import homan.mocap as ref_mocap
     finally:
         os.chdir(old_cwd)
     return types.SimpleNamespace(
         geometry=ref_geometry, camera=ref_camera, optitrans=ref_optitrans,
         chunkvids=ref_chunkvids, contactloss=ref_contactloss,
-        lossutils=ref_lossutils, losses=ref_losses)
+        lossutils=ref_lossutils, losses=ref_losses, mocap=ref_mocap)
 
 
 def test_rot6d_matrix_parity(ref):
@@ -593,3 +614,44 @@ def test_contact_loss_parity_stubbed_sdf(ref, monkeypatch):
         for k in ("max_penetr", "mean_penetr"):
             np.testing.assert_allclose(float(o_metrics[k]),
                                        float(t_metrics[k]), rtol=1e-4)
+
+
+def test_body_mocap_processing_parity(ref):
+    """process_mocap_predictions (homan/mocap.py:116-179): weak-persp cam
+    rescale to the detection box + left-to-right sort, vs our
+    frontend.evidence.process_body_estimates."""
+    from homan_tpu.frontend.evidence import process_body_estimates
+
+    rng = np.random.RandomState(2)
+    N, V = 3, 40
+    preds = []
+    for i in range(N):
+        preds.append({
+            "pred_vertices_smpl": rng.randn(V, 3).astype(np.float32),
+            "faces": rng.randint(0, V, (50, 3)).astype(np.int64),
+            "pred_camera": (rng.rand(3).astype(np.float32) + 0.5),
+            "bbox_scale_ratio": float(rng.rand() + 0.5),
+            "global_cams": rng.randn(3).astype(np.float32),
+        })
+    # Unsorted boxes so the left-to-right argsort actually permutes
+    bboxes = np.array([[300, 50, 420, 260], [20, 40, 180, 300],
+                       [150, 60, 280, 290]], np.float64)
+
+    theirs = ref.mocap.process_mocap_predictions(
+        [dict(p, pred_camera=p["pred_camera"].copy()) for p in preds],
+        bboxes.copy(), image_size=640)
+    ours = process_body_estimates(preds, bboxes, image_size=640)
+
+    for k in ("cams", "local_cams", "verts", "bboxes"):
+        np.testing.assert_allclose(
+            np.asarray(ours[k]), np.asarray(theirs[k].cpu()), rtol=1e-5,
+            atol=1e-6, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(ours["faces"]),
+                                  np.asarray(theirs["faces"].cpu()))
+
+    # boxes-only path
+    theirs_b = ref.mocap.process_mocap_predictions(None, bboxes.copy(),
+                                                   image_size=640)
+    ours_b = process_body_estimates(None, bboxes, image_size=640)
+    np.testing.assert_allclose(np.asarray(ours_b["bboxes"]),
+                               np.asarray(theirs_b["bboxes"].cpu()))
