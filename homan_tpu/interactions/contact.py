@@ -18,6 +18,18 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def load_contact_zones(path: str):
+    """Read the reference's contact-zones pickle
+    (`data/contact_zones.pkl`, contactloss.py:301-309): returns the
+    zone-id -> vertex-index-list mapping consumed by
+    compute_contact_loss(contact_zones=<dict>)."""
+    import pickle
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    return data["contact_zones"]
 
 
 def batch_pairwise_dist2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -51,7 +63,8 @@ def compute_contact_loss(
     collision_thresh: float = 0.020,
     collision_mode: str = "dist_tanh",
     contact_target: str = "all",
-    contact_zones: str = "all",
+    contact_zones="all",  # "all" | "tips" | dict zone->vertex ids
+                          # (load_contact_zones reads the reference's pkl)
     strict_exterior: bool = False,
     sdf_grid: int = 32,
     obj_sdf_at_hand: jnp.ndarray | None = None,
@@ -129,6 +142,19 @@ def compute_contact_loss(
         tips = jnp.zeros(hand_verts.shape[1], bool).at[
             jnp.asarray(TIP_VERTEX_IDS)].set(True)
         missed_mask = missed_mask & tips[None, :]
+    elif isinstance(contact_zones, dict):
+        # Zone mode (contactloss.py:264-275 with data/contact_zones.pkl):
+        # per zone, only the zone vertex currently closest to the object
+        # participates in the attraction term. Zone index arrays are static
+        # (host-provided), so the gather compiles to fixed-shape selects.
+        B = hand_verts.shape[0]
+        matching = jnp.zeros(missed_mask.shape, bool)
+        for zone_idxs in contact_zones.values():
+            zi = jnp.asarray(np.asarray(zone_idxs, np.int64), jnp.int32)
+            zmin = jnp.argmin(mins21[:, zi], axis=1)      # (B,)
+            cont = zi[zmin]                                # (B,)
+            matching = matching.at[jnp.arange(B), cont].set(True)
+        missed_mask = missed_mask & matching
     elif contact_zones != "all":
         raise ValueError(f"contact_zones {contact_zones}")
 

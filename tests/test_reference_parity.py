@@ -589,8 +589,26 @@ def test_contact_loss_parity_stubbed_sdf(ref, monkeypatch):
 
     monkeypatch.setattr(ref.contactloss.scenesdf, "SDFSceneLoss", _StubSDFL)
 
+    # Zone mode: fabricate the reference's data/contact_zones.pkl in a temp
+    # cwd (contactloss.py:301-309 loads the hardcoded relative path).
+    import os
+    import pickle
+    import tempfile
+    zones = {0: [745, 12, 300], 1: [317, 44], 2: [444, 555, 90, 91],
+             3: [556], 4: [673, 700]}
+    tmpdir = tempfile.mkdtemp()
+    os.makedirs(os.path.join(tmpdir, "data"))
+    with open(os.path.join(tmpdir, "data", "contact_zones.pkl"), "wb") as f:
+        pickle.dump({"verts": None, "contact_zones": zones}, f)
+    monkeypatch.chdir(tmpdir)
+    # Latent reference bug: contactloss.py never imports pickle, so its
+    # load_contacts (line 314-319) raises NameError as shipped. Inject it
+    # so the intended zones semantics are runnable for parity.
+    monkeypatch.setattr(ref.contactloss, "pickle", pickle, raising=False)
+
     for c_mode, z in [("dist_tanh", "all"), ("dist", "all"),
-                      ("dist_sq", "all"), ("dist_tanh", "tips")]:
+                      ("dist_sq", "all"), ("dist_tanh", "tips"),
+                      ("dist_tanh", "zones")]:
         theirs = ref.contactloss.compute_contact_loss(
             torch.as_tensor(hand), [torch.zeros(10, 3).long()],
             torch.as_tensor(obj), [torch.zeros(10, 3).long()],
@@ -598,7 +616,8 @@ def test_contact_loss_parity_stubbed_sdf(ref, monkeypatch):
         t_missed, t_penetr, t_info, t_metrics = theirs
         ours = contact.compute_contact_loss(
             jnp.asarray(hand), None, jnp.asarray(obj), None,
-            contact_mode=c_mode, collision_mode=c_mode, contact_zones=z,
+            contact_mode=c_mode, collision_mode=c_mode,
+            contact_zones=zones if z == "zones" else z,
             obj_sdf_at_hand=jnp.asarray(sdf_vals))
         o_missed, o_penetr, o_info, o_metrics = ours
         np.testing.assert_allclose(float(o_missed), float(t_missed),
