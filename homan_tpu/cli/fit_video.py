@@ -274,6 +274,27 @@ def main(args):
         if state_override is not None:
             state = postprocess.state_from_dict(state_override)
 
+        # Edge-budget sanity: a contour edge dropped by the per-tile top-k
+        # corrupts winding regions silently; warn while there is margin.
+        try:
+            from homan_tpu.fit import model as M2
+            from homan_tpu.render.rasterizer import (RasterSettings,
+                                                     check_edge_budget)
+            vo, _ = M2.get_verts_object_jit(state, consts)
+            budget = check_edge_budget(vo, consts.faces_object,
+                                       consts.camintr_rois_object,
+                                       RasterSettings(
+                                           image_size=args.rend_size))
+            if budget["utilization"] > 0.8:
+                logger.warning(
+                    "edge budget %d/%d (%.0f%%) at the initial pose — raise "
+                    "RasterSettings.edges_per_tile to avoid silhouette "
+                    "corruption if poses get closer/denser",
+                    budget["max_demand"], budget["capacity"],
+                    100 * budget["utilization"])
+        except Exception as exc:
+            logger.debug("edge-budget check skipped: %s", exc)
+
         # Periodic optimization snapshots every viz_step iterations
         # (homan/jointopt.py:158-177 role); frames become an evolution video.
         optim_frames = []

@@ -614,3 +614,55 @@ def _rasterize_hard(verts, faces, K, face_colors, settings: RasterSettings,
                 "sil": untile(cov_t)}
 
     return jax.vmap(lambda v, k: render_one(v, k, face_colors))(verts, K)
+
+
+def check_edge_budget(verts, topology, K,
+                      settings: RasterSettings = RasterSettings()):
+    """Host-side diagnostic: contour-edge demand vs edges_per_tile capacity.
+
+    Edge-budget undersizing is CATASTROPHIC, not graceful: a contour edge
+    dropped by the per-tile top-k corrupts the winding REGION behind it
+    (whole areas of the silhouette flip), not just the soft distance band.
+    Call this once at fit setup with representative poses; if max_demand
+    approaches capacity, raise `edges_per_tile` (VMEM bounds it at ~96 for
+    tile_px=128 at 256²).
+
+    Args:
+      verts: (B, V, 3) camera-space vertices (e.g. initial poses).
+    Returns:
+      dict: max_demand (max contour-edge candidates in any tile, over the
+      batch), capacity, overflow (bool), utilization (max_demand/capacity).
+    """
+    import numpy as np
+    s = settings
+    topo = as_topology(topology)
+    margin = s.bin_margin_px / s.image_size
+    g = s.image_size // s.tile_px
+
+    def demand_one(v, k):
+        uv, z = project_ndc(v[None], k[None])
+        uv, z = uv[0], z[0]
+        _, _, _, is_contour, _, _, _, _ = _contour_data(uv, z, topo, s)
+        seg = uv[topo.edges]
+        lo = seg.min(1) - margin
+        hi = seg.max(1) + margin
+        t_idx = jnp.arange(g * g)
+        t_xy = jnp.stack([t_idx % g, t_idx // g], -1).astype(jnp.float32)
+        t_lo = t_xy * s.tile_px / s.image_size
+        t_hi = (t_xy + 1) * s.tile_px / s.image_size
+        overlap = ((lo[None, :, 0] <= t_hi[:, None, 0])
+                   & (hi[None, :, 0] >= t_lo[:, None, 0])
+                   & (lo[None, :, 1] <= t_hi[:, None, 1])
+                   & (hi[None, :, 1] >= t_lo[:, None, 1])
+                   & is_contour[None, :])
+        return overlap.sum(axis=1).max()
+
+    demand = int(np.asarray(
+        jax.vmap(demand_one)(jnp.asarray(verts), jnp.asarray(K))).max())
+    capacity = min(s.edges_per_tile, int(topo.edges.shape[0]))
+    return {
+        "max_demand": demand,
+        "capacity": capacity,
+        "overflow": demand > capacity,
+        "utilization": demand / max(capacity, 1),
+    }

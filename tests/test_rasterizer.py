@@ -190,3 +190,17 @@ def test_interior_pixels_fully_covered_with_internal_contours():
         assert interior.sum() > 500  # the spheres do fill the frame
         assert sil[interior].min() >= 0.99, (
             use_pallas, sil[interior].min())
+
+
+def test_check_edge_budget():
+    """Diagnostic: demand below capacity on the sphere; overflow flagged
+    when the budget is made artificially tiny."""
+    from homan_tpu.render.rasterizer import check_edge_budget
+    verts, faces = sphere_scene()
+    ok = check_edge_budget(verts, faces, unit_K(), SETTINGS)
+    assert not ok["overflow"], ok
+    assert 0 < ok["max_demand"] <= ok["capacity"]
+    import dataclasses
+    tiny = dataclasses.replace(SETTINGS, edges_per_tile=2)
+    bad = check_edge_budget(verts, faces, unit_K(), tiny)
+    assert bad["overflow"] and bad["utilization"] > 1
