@@ -124,16 +124,21 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
                         rend_size=rend_size, sdf_mode=sdf_mode,
                         collision_mode=collision_mode)
 
-    obj_trans = np.concatenate([np.asarray(o["translations"])
+    # jnp concatenation keeps stage-B outputs resident on device: np here
+    # would round-trip every mask/param through the host (seconds on a
+    # tunneled TPU; measured in the pipeline profile).
+    obj_trans = jnp.concatenate([jnp.asarray(o["translations"])
+                                 for o in object_parameters])
+    obj_rots = jnp.concatenate([jnp.asarray(o["rotations"])
                                 for o in object_parameters])
-    obj_rots = np.concatenate([np.asarray(o["rotations"])
-                               for o in object_parameters])
-    obj_tar = np.concatenate([np.asarray(o["target_masks"])
-                              for o in object_parameters])
-    obj_Kroi = np.concatenate([np.asarray(o["K_roi"][:, 0]
-                                          if np.asarray(o["K_roi"]).ndim == 4
-                                          else o["K_roi"])
-                               for o in object_parameters])
+    obj_tar = jnp.concatenate(
+        [jnp.asarray(o["target_masks"], jnp.float32).reshape(
+            (-1,) + tuple(np.shape(o["target_masks"])[-2:]))
+         for o in object_parameters])
+    obj_Kroi = jnp.concatenate([jnp.asarray(o["K_roi"])[:, 0]
+                                if jnp.asarray(o["K_roi"]).ndim == 4
+                                else jnp.asarray(o["K_roi"])
+                                for o in object_parameters])
 
     p = person_parameters  # stacked dict (frontend.evidence layout)
     state = M.init_state(
@@ -165,12 +170,11 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
         camintr_rois_hand=jnp.asarray(p["K_roi"], jnp.float32),
         camintr=jnp.asarray(camintr_nc, jnp.float32),
         mano_params_by_side={s: mano_layer.params[s] for s in hand_sides},
-        masks_object=jnp.asarray(
-            np.stack([np.asarray(o.get("masks",
-                                       np.zeros(masks_shape, np.float32)))
-                      if o.get("masks") is not None
-                      else np.zeros(masks_shape, np.float32)
-                      for o in object_parameters]), jnp.float32),
+        masks_object=jnp.stack(
+            [jnp.asarray(o["masks"], jnp.float32).reshape(masks_shape)
+             if o.get("masks") is not None
+             else jnp.zeros(masks_shape, jnp.float32)
+             for o in object_parameters]),
         masks_hand=jnp.asarray(
             p.get("masks", np.zeros((B * H,) + masks_shape, np.float32)),
             jnp.float32),
