@@ -33,10 +33,11 @@ def render_full_mask(verts: np.ndarray, topo: MeshTopology, K_px: np.ndarray,
                          jnp.asarray(Kn, jnp.float32), settings)["sil"]
     masks = np.asarray(sil) > 0.5
     if settings.image_size != image_size:
-        masks = np.stack([mask_lib.crop_and_resize(
-            m[None].astype(np.float32),
-            np.array([[0, 0, settings.image_size, settings.image_size]]),
-            image_size)[0] >= 0.5 for m in masks])
+        full = np.tile(np.array(
+            [[0, 0, settings.image_size, settings.image_size]], np.float32),
+            (masks.shape[0], 1))
+        masks = mask_lib.crop_and_resize(masks.astype(np.float32), full,
+                                         image_size) >= 0.5
     return masks
 
 
@@ -173,18 +174,15 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
         for h in range(H):
             bboxes.append(mask_to_bbox(hand_masks_all[h][t]))
     pp = {"bboxes": np.stack(bboxes), "masks": person_parameters["masks"]}
-    obj_full_per_hand = np.repeat(obj_masks, H, axis=0)
-    # per-row occlusion targets with per-frame object masks
-    targets, K_rois = [], []
-    for i in range(T * H):
-        t = i // H
-        single = mask_lib.add_target_hand_occlusions(
-            {"bboxes": pp["bboxes"][i:i + 1], "masks": pp["masks"][i:i + 1]},
-            {"full_mask": obj_masks[t]}, K_px[t], rend_size=rend_size)
-        targets.append(single["target_masks"][0])
-        K_rois.append(single["K_roi"][0])
-    person_parameters["target_masks"] = np.stack(targets)
-    person_parameters["K_roi"] = np.stack(K_rois)
+    # One vectorized call over all T*H rows, with per-row object masks and
+    # intrinsics (row order matches the interleaved layout: i = t*H + h).
+    obj_full_per_hand = np.repeat(obj_masks.astype(np.float32), H, axis=0)
+    K_per_row = np.repeat(np.asarray(K_px, np.float32), H, axis=0)
+    batched = mask_lib.add_target_hand_occlusions(
+        pp, {"full_mask": obj_full_per_hand}, K_per_row,
+        rend_size=rend_size)
+    person_parameters["target_masks"] = batched["target_masks"]
+    person_parameters["K_roi"] = batched["K_roi"]
     person_parameters["bboxes"] = pp["bboxes"]
 
     return {

@@ -89,8 +89,8 @@ def add_target_hand_occlusions(person_parameters: Dict,
     Args:
       person_parameters: {"bboxes" (B,4) xyxy, "masks" (B,H,W)}; updated
         in place with target_masks, K_roi (normalized), square_bboxes.
-      object_parameters: {"full_mask" (H,W)}.
-      K: (3, 3) pixel intrinsics of the full image.
+      object_parameters: {"full_mask" (H,W), or (B,H,W) per row}.
+      K: (3, 3) pixel intrinsics of the full image, or (B, 3, 3) per row.
     """
     import jax.numpy as jnp
 
@@ -103,13 +103,15 @@ def add_target_hand_occlusions(person_parameters: Dict,
     target = crop_and_resize(person_masks, square, rend_size)
     target = (target >= 0.5).astype(np.float32)
     obj_full = np.asarray(object_parameters["full_mask"], np.float32)
-    obj_crops = crop_and_resize(np.tile(obj_full[None], (b, 1, 1)), square,
-                                rend_size) >= 0.5
+    if obj_full.ndim == 2:
+        obj_full = np.tile(obj_full[None], (b, 1, 1))
+    obj_crops = crop_and_resize(obj_full, square, rend_size) >= 0.5
     target[obj_crops] = -1
 
-    K_roi = cam.get_K_crop_resize(
-        jnp.tile(jnp.asarray(K, jnp.float32)[None], (b, 1, 1)),
-        jnp.asarray(square, jnp.float32), rend_size)
+    K = jnp.asarray(K, jnp.float32)
+    K_b = jnp.tile(K[None], (b, 1, 1)) if K.ndim == 2 else K
+    K_roi = cam.get_K_crop_resize(K_b, jnp.asarray(square, jnp.float32),
+                                  rend_size)
     K_roi = np.array(K_roi)  # writable copy
     K_roi[:, :2] = K_roi[:, :2] / rend_size  # normalized rendering space
 
