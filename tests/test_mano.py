@@ -203,3 +203,80 @@ def test_mirror_matches_shipped_left_model():
     out_l = mano_forward_jit(left, betas, jnp.zeros(3), pose)
     np.testing.assert_allclose(np.asarray(out_m["verts"]),
                                np.asarray(out_l["verts"]), atol=1e-5)
+
+
+def test_fabricated_real_format_pkl_roundtrip(tmp_path):
+    """load_mano_params / from_folder on a pkl in the REAL MANO format:
+    chumpy-wrapped arrays (restored through the chumpy-free unpickler),
+    scipy-sparse J_regressor, latin1 py2 pickling, 'f' faces key, and a
+    (778, 3, 45) wide shapedirs truncated to 10 betas — so the parsing path
+    is covered without the license-gated download."""
+    import pickle
+    import sys
+    import types
+
+    import scipy.sparse as sp
+
+    from homan_tpu.core.mano import (ManoLayer, load_mano_params,
+                                     synthetic_mano_params)
+
+    src = {k: np.asarray(v) for k, v in synthetic_mano_params(3).items()}
+
+    # Fake chumpy so pickled objects carry module path "chumpy.ch".
+    ch_mod = types.ModuleType("chumpy")
+    ch_ch = types.ModuleType("chumpy.ch")
+
+    class Ch:  # noqa: D401 — minimal stand-in
+        def __init__(self, x):
+            self.x = x
+
+    ch_ch.Ch = Ch
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    ch_mod.ch = ch_ch
+    sys.modules["chumpy"] = ch_mod
+    sys.modules["chumpy.ch"] = ch_ch
+    try:
+        kintree = np.stack([
+            np.concatenate([[4294967295], src["parents"][1:]]).astype(
+                np.uint32),
+            np.arange(16, dtype=np.uint32)])
+        wide_shapedirs = np.concatenate(
+            [src["shapedirs"], np.zeros((778, 3, 35))], axis=-1)
+        raw = {
+            "v_template": Ch(src["v_template"].astype(np.float64)),
+            "f": src["faces"].astype(np.uint32),
+            "shapedirs": Ch(wide_shapedirs),
+            "posedirs": Ch(src["posedirs"].astype(np.float64)),
+            "J_regressor": sp.csc_matrix(src["J_regressor"]),
+            "weights": src["weights"].astype(np.float64),
+            "kintree_table": kintree,
+            "hands_components": src["hands_components"].astype(np.float64),
+            "hands_mean": src["hands_mean"].astype(np.float64),
+        }
+        with open(tmp_path / "MANO_RIGHT.pkl", "wb") as f:
+            pickle.dump(raw, f, protocol=2)
+    finally:
+        del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+
+    loaded = load_mano_params(str(tmp_path / "MANO_RIGHT.pkl"))
+    for k in ("v_template", "shapedirs", "posedirs", "J_regressor",
+              "weights", "hands_components", "hands_mean"):
+        np.testing.assert_allclose(np.asarray(loaded[k]),
+                                   src[k].astype(np.float32), atol=1e-6,
+                                   err_msg=k)
+    np.testing.assert_array_equal(np.asarray(loaded["faces"]), src["faces"])
+    np.testing.assert_array_equal(np.asarray(loaded["parents"]),
+                                  src["parents"])
+
+    # from_folder mirrors the left model when MANO_LEFT.pkl is absent, and
+    # the loaded layer runs the forward.
+    layer = ManoLayer.from_folder(str(tmp_path))
+    out = layer.forward_pca(jnp.zeros((1, 16)), jnp.zeros((1, 3)),
+                            jnp.zeros((1, 10)), side="right")
+    assert np.isfinite(np.asarray(out["verts"])).all()
+    out_l = layer.forward_pca(jnp.zeros((1, 16)), jnp.zeros((1, 3)),
+                              jnp.zeros((1, 10)), side="left")
+    np.testing.assert_allclose(
+        np.asarray(out_l["verts"]) * np.array([-1, 1, 1]),
+        np.asarray(out["verts"]), atol=1e-5)
