@@ -125,8 +125,13 @@ def bench_stageb(frames: int, inits: int, obj_iters: int, rend: int,
         info["full_mask"] = masks[t].astype(np.float32)
         annotations.append(info)
     tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    # ke=64, not 48: the half-res refinement renders the whole 128^2 image
+    # as ONE 128px tile, so every contour edge competes for the same slots
+    # (ke=48 measurably drops IoU .979 -> .968).
     settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=48)
+                              edges_per_tile=64)
+
+    best_iou = {}
 
     def run():
         res = poseinit.find_optimal_poses(
@@ -135,10 +140,11 @@ def bench_stageb(frames: int, inits: int, obj_iters: int, rend: int,
             (image_size, image_size), num_initializations=inits,
             num_iterations=obj_iters, rend_size=rend, settings=settings,
             seed=0)
+        best_iou["iou"] = float(res[0]["best_iou"])
         return res[0]["rotations"]
 
     elapsed, compile_s, _ = _timed(run)
-    return elapsed, compile_s
+    return elapsed, compile_s, best_iou["iou"]
 
 
 def bench_multiclip(n_clips: int, frames: int, iters: int, rend: int,
@@ -221,7 +227,7 @@ def bench_pipeline(frames: int, inits: int, obj_iters: int, joint_iters: int,
                         stageb_parallel_frames=0)
     tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
     settings = RasterSettings(image_size=rend, tile_px=tile,
-                              edges_per_tile=48)
+                              edges_per_tile=64)
 
     def run():
         indep = prepare_independent_fit(annots, args, None, layer,
@@ -268,7 +274,7 @@ def main():
                           subdiv=subdiv)
 
     elapsed, compile_s = bench_joint(frames, iters, rend, subdiv)
-    sb, sb_c = bench_stageb(**extras_cfg)
+    sb, sb_c, sb_iou = bench_stageb(**extras_cfg)
     pl, pl_c = bench_pipeline(joint_iters=201 if args.preset == "full" else 5,
                               **extras_cfg)
     n_clips = 4 if args.preset == "full" else 2
@@ -288,6 +294,7 @@ def main():
         "extra": {
             f"stageb_{ec['inits']}c_{ec['obj_iters']}it_{ec['frames']}f_s":
                 round(sb, 3),
+            "stageb_best_iou": round(sb_iou, 4),
             f"pipeline_{ec['frames']}f_s": round(pl, 3),
             f"multiclip_{n_clips}x{ec['frames']}f_s": round(mc, 3),
             f"depth_{ec['frames']}f_{depth_iters}it_s": round(dp, 3),
