@@ -171,7 +171,7 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
         camintr=jnp.asarray(camintr_nc, jnp.float32),
         mano_params_by_side={s: mano_layer.params[s] for s in hand_sides},
         masks_object=jnp.stack(
-            [jnp.asarray(o["masks"], jnp.float32).reshape(masks_shape)
+            [jnp.asarray(o["masks"], jnp.float32)
              if o.get("masks") is not None
              else jnp.zeros(masks_shape, jnp.float32)
              for o in object_parameters]),
