@@ -79,14 +79,15 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
     py = (gy * tile_px + iy + 0.5) * inv_s
     x1 = (gx + 1.0) * tile_px * inv_s
 
+    seg = seg_ref[0, 0]  # (8, ke) resident block: one load, not 11*ke
     # Pass 1: winding (needs ALL edges before relevance can be decided).
     winding = anchor_ref[0, 0]
     for k in range(ke):
-        ax = seg_ref[0, 0, 0, k]
-        ay = seg_ref[0, 0, 1, k]
-        bx = seg_ref[0, 0, 2, k]
-        by = seg_ref[0, 0, 3, k]
-        sgn = seg_ref[0, 0, 4, k]
+        ax = seg[0, k]
+        ay = seg[1, k]
+        bx = seg[2, k]
+        by = seg[3, k]
+        sgn = seg[4, k]
         dy = by - ay
         dy_safe = jnp.where(jnp.abs(dy) > 1e-12, dy, 1.0)
         spans = (ay <= py) != (by <= py)
@@ -105,11 +106,11 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, *,
     d2min = jnp.full(pix_shape(tile_px), cap2, jnp.float32)
     amin = jnp.full(pix_shape(tile_px), -1, jnp.int32)
     for k in range(ke):
-        ax = seg_ref[0, 0, 0, k]
-        ay = seg_ref[0, 0, 1, k]
-        bx = seg_ref[0, 0, 2, k]
-        by = seg_ref[0, 0, 3, k]
-        flipk = seg_ref[0, 0, 6, k]
+        ax = seg[0, k]
+        ay = seg[1, k]
+        bx = seg[2, k]
+        by = seg[3, k]
+        flipk = seg[6, k]
         ex = bx - ax
         ey = by - ay
         denom = jnp.maximum(ex * ex + ey * ey, 1e-12)
