@@ -83,6 +83,11 @@ def get_args(argv=None):
                         type=int,
                         help="batch stage-B frames 1..T-1 in one program "
                              "(init from frame 0 instead of chaining)")
+    parser.add_argument("--prewarm", choices=[0, 1], default=1, type=int,
+                        help="compile the stage-C joint-fit program in a "
+                             "background thread while stages A+B run "
+                             "(XLA compiles overlap; hides the joint "
+                             "compile on the first sample)")
     parser.add_argument("--mano_root", default="extra_data/mano")
     parser.add_argument("--closed_fmano_path", type=str,
                         help="closed-fist MANO faces npy (reference "
@@ -182,6 +187,72 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
     return state, consts, cfg
 
 
+def _spawn_joint_prewarm(annots, args, mano_layer, image_size, loss_weights,
+                         closed_hand_faces):
+    """Compile stage C's programs in a daemon thread while stages A+B run.
+
+    The joint-fit program is keyed only on SHAPES (frame_nb, mesh topology,
+    rend_size, loss weights, iteration chunks), all known before stage B
+    produces its values — so a dummy-valued run through the same
+    build_joint_inputs + joint.prewarm path populates the executable cache
+    concurrently (XLA compiles overlap ~2x on the axon relay)."""
+    import threading
+
+    def job():
+        try:
+            from homan_tpu.fit import joint
+            T = len(annots["frame_idxs"])
+            hand_sides = [h["label"].replace("_hand", "")
+                          for h in annots["hands"]] or ["right"]
+            H = len(hand_sides)
+            obj = annots["objects"][0]
+            overts = np.asarray(obj["canverts3d"], np.float32)
+            if overts.ndim == 3:
+                overts = overts[0]
+            ofaces = np.asarray(obj["faces"])
+            if ofaces.ndim == 3:
+                ofaces = ofaces[0]
+            V = int(mano_layer.params["right"]["v_template"].shape[0])
+            R = args.rend_size
+            BH = T * H
+            eye = np.eye(3, dtype=np.float32)
+            person = {
+                "translations": np.zeros((BH, 1, 3), np.float32),
+                "rotations": np.tile(eye, (BH, 1, 1)),
+                "mano_pca_pose": np.zeros((BH, 16), np.float32),
+                "mano_rot": np.zeros((BH, 3), np.float32),
+                "mano_trans": np.zeros((BH, 3), np.float32),
+                "mano_betas": np.zeros((BH, 10), np.float32),
+                "verts": np.zeros((BH, V, 3), np.float32),
+                "verts2d": np.zeros((BH, V, 2), np.float32),
+                "target_masks": np.zeros((BH, R, R), np.float32),
+                "K_roi": np.tile(eye, (BH, 1, 1)),
+                "masks": np.zeros((BH, image_size, image_size), np.float32),
+            }
+            objp = [{
+                "translations": np.zeros((1, 1, 3), np.float32),
+                "rotations": np.tile(eye, (1, 1, 1)),
+                "target_masks": np.zeros((1, R, R), np.float32),
+                "K_roi": np.tile(eye, (1, 1, 1)),
+                "masks": None,
+            } for _ in range(T)]
+            camintr = np.tile(eye, (T, 1, 1))
+            state, consts, cfg = build_joint_inputs(
+                person, objp, overts, ofaces, camintr, hand_sides,
+                mano_layer, image_size, R, (image_size, image_size),
+                sdf_mode=args.sdf_mode, collision_mode=args.collision_mode)
+            joint.prewarm(state, consts, cfg, loss_weights=loss_weights,
+                          num_iterations=args.num_joint_iterations,
+                          closed_hand_faces=closed_hand_faces,
+                          viz_step=args.viz_step if args.viz_step else None)
+        except Exception as exc:  # never break fits
+            logger.debug("stage-C prewarm failed: %s", exc)
+
+    th = threading.Thread(target=job, daemon=True, name="stageC-prewarm")
+    th.start()
+    return th
+
+
 def main(args):
     import jax
     from homan_tpu.core import camera as cam_lib
@@ -251,6 +322,11 @@ def main(args):
                 raise SystemExit(
                     "need --gt_masks 1 or --evidence_root (no detector "
                     "networks are bundled)")
+            prewarm_thread = None
+            if args.prewarm:
+                prewarm_thread = _spawn_joint_prewarm(
+                    annots, args, mano_layer, image_size, loss_weights,
+                    closed_hand_faces)
             if args.gt_masks:
                 indep = gtevidence.prepare_independent_fit(
                     annots, args, dataset, mano_layer, image_size,
@@ -265,6 +341,13 @@ def main(args):
             state_override = None
             with open(indep_fit_path, "wb") as f:
                 pickle.dump(indep, f)
+            if prewarm_thread is not None:
+                # Join before the real stage C so the two identical compiles
+                # never race (the real call then hits the executable cache).
+                # Bounded: if the evidence shapes diverged from the prewarm
+                # guess (e.g. non-square EPIC masks), don't serialize on a
+                # compile the real call can't reuse.
+                prewarm_thread.join(timeout=180)
 
         camintr_nc = np.asarray(annots["camera"]["K"], np.float64).copy()
         camintr_nc[:, :2] = camintr_nc[:, :2] / image_size

@@ -116,6 +116,27 @@ def test_frozen_params_do_not_move(scene):
                               np.asarray(scene.init_state.mano_pca_pose))
 
 
+def test_prewarm_caches_phase_programs(scene):
+    """joint.prewarm compiles the exact programs optimize_hand_object will
+    run (incl. the viz_step chunk split): after prewarm, the real call adds
+    no new jit cache entries — it is a pure executable-cache hit."""
+    lw = {"lw_smooth_obj": 1.0}
+    base = joint._run_phase._cache_size()
+    joint.prewarm(scene.init_state, scene.consts, scene.cfg,
+                  loss_weights=lw, num_iterations=6,
+                  roi_settings=scene.roi_settings, viz_step=4)
+    after_prewarm = joint._run_phase._cache_size()
+    assert after_prewarm >= base + 2  # 4-iter chunk + 2-iter remainder
+    frames = []
+    final, history = joint.optimize_hand_object(
+        scene.init_state, scene.consts, scene.cfg, loss_weights=lw,
+        num_iterations=6, roi_settings=scene.roi_settings,
+        viz_step=4, viz_callback=lambda done, s: frames.append(done))
+    assert joint._run_phase._cache_size() == after_prewarm
+    assert history["loss"].shape == (6,)
+    assert frames == [4]
+
+
 def test_refinement_with_interaction_terms(scene):
     """Config-3 shape: collision + contact terms stay finite and the fit
     still improves."""
