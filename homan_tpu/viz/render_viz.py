@@ -7,15 +7,34 @@ compositing (homan/utils/nmr_renderer.py:116-250), using homan_tpu's own flat
 """
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from homan_tpu.core import meshes as mesh_lib
 from homan_tpu.fit import model as M
 from homan_tpu.render import RasterSettings, rasterize_hard
 from homan_tpu.render.rasterizer import MeshTopology
+
+# Cosmetic renders run on the CPU backend by default: the hard rasterizer is
+# pure XLA (no Pallas), CPU compiles are local and take seconds, while every
+# distinct viz shape compiled for a remote TPU pays tens of seconds of relay
+# round-trip — measured as the dominant first-sample cost in the CLI driver.
+# The frames are consumed host-side (numpy compositing + video writers)
+# anyway. Override with HOMAN_TPU_VIZ_DEVICE=tpu to keep viz on the
+# accelerator (e.g. local non-relay runtimes rendering long clips).
+VIZ_DEVICE = os.environ.get("HOMAN_TPU_VIZ_DEVICE", "cpu")
+
+
+def _viz_device_ctx():
+    try:
+        return jax.default_device(jax.devices(VIZ_DEVICE)[0])
+    except RuntimeError:  # backend not present: keep the session default
+        return contextlib.nullcontext()
 
 
 def rotate_in_place(verts: np.ndarray, axis=(1.0, 0.0, 0.0),
@@ -79,14 +98,17 @@ def render_scene(verts_list: Sequence[np.ndarray],
         image_size=image_size,
         faces_per_tile=min(2048, faces_packed.shape[1] + 64),
         edges_per_tile=256)
+    K_np = np.asarray(K, np.float32)
+    colors_np = np.asarray(colors[0], np.float32)
     frames = []
     for start in range(0, B, max_in_batch):
         sl = slice(start, min(start + max_in_batch, B))
-        out = rasterize_hard(jnp.asarray(scene_verts[sl]), topo,
-                             jnp.asarray(K)[sl],
-                             jnp.asarray(colors[0]), settings)
-        rgb = np.asarray(out["rgb"])
-        sil = np.asarray(out["sil"])
+        with _viz_device_ctx():
+            out = rasterize_hard(jnp.asarray(scene_verts[sl]), topo,
+                                 jnp.asarray(K_np[sl]),
+                                 jnp.asarray(colors_np), settings)
+            rgb = np.asarray(out["rgb"])
+            sil = np.asarray(out["sil"])
         for i in range(rgb.shape[0]):
             img = images[start + i] if images is not None else None
             frames.append(composite(rgb[i], sil[i], img))
@@ -102,8 +124,13 @@ def visualize_hand_object(state: M.HomanState, consts: M.HomanConsts,
                           verts_object_gt=None,
                           gt_only: bool = False):
     """(frontal, top_down) overlay renders (homan/visualize.py:44-128)."""
-    verts_object, _ = M.get_verts_object(state, consts)
-    verts_hand, _ = M.get_verts_hand(state, consts, cfg)
+    # Pose the meshes on the viz device too: the getters are tiny programs,
+    # but each distinct shape would otherwise pay a remote-TPU compile.
+    state_h = jax.device_get(state)
+    consts_h = jax.device_get(consts)
+    with _viz_device_ctx():
+        verts_object, _ = M.get_verts_object_jit(state_h, consts_h)
+        verts_hand, _ = M.get_verts_hand_jit(state_h, consts_h, cfg)
     B = min(viz_len, verts_object.shape[0])
     obj_faces = np.asarray(consts.faces_object.faces)
     hand_faces = np.asarray(consts.faces_hand.faces)
