@@ -296,7 +296,9 @@ def main(args):
             path, np.asarray(mano_layer.faces("right")))
 
     all_metrics = defaultdict(list)
+    from homan_tpu.utils_profiling import StageTimers
     for sample_idx in range(args.data_offset, len(dataset), args.data_step):
+        timers = StageTimers()
         sample_folder = os.path.join(args.result_root, "samples",
                                      f"{sample_idx:08d}")
         os.makedirs(sample_folder, exist_ok=True)
@@ -327,17 +329,18 @@ def main(args):
                 prewarm_thread = _spawn_joint_prewarm(
                     annots, args, mano_layer, image_size, loss_weights,
                     closed_hand_faces)
-            if args.gt_masks:
-                indep = gtevidence.prepare_independent_fit(
-                    annots, args, dataset, mano_layer, image_size,
-                    rend_size=args.rend_size, sample_folder=sample_folder)
-            else:
-                from homan_tpu.frontend import cachedfit
-                indep = cachedfit.prepare_independent_fit_cached(
-                    annots, args, mano_layer, image_size,
-                    rend_size=args.rend_size,
-                    evidence_root=args.evidence_root,
-                    sample_folder=sample_folder)
+            with timers.time("stageAB_evidence_poseinit"):
+                if args.gt_masks:
+                    indep = gtevidence.prepare_independent_fit(
+                        annots, args, dataset, mano_layer, image_size,
+                        rend_size=args.rend_size, sample_folder=sample_folder)
+                else:
+                    from homan_tpu.frontend import cachedfit
+                    indep = cachedfit.prepare_independent_fit_cached(
+                        annots, args, mano_layer, image_size,
+                        rend_size=args.rend_size,
+                        evidence_root=args.evidence_root,
+                        sample_folder=sample_folder)
             state_override = None
             with open(indep_fit_path, "wb") as f:
                 pickle.dump(indep, f)
@@ -347,7 +350,8 @@ def main(args):
                 # Bounded: if the evidence shapes diverged from the prewarm
                 # guess (e.g. non-square EPIC masks), don't serialize on a
                 # compile the real call can't reuse.
-                prewarm_thread.join(timeout=180)
+                with timers.time("stageC_prewarm_join"):
+                    prewarm_thread.join(timeout=180)
 
         camintr_nc = np.asarray(annots["camera"]["K"], np.float64).copy()
         camintr_nc[:, :2] = camintr_nc[:, :2] / image_size
@@ -389,19 +393,22 @@ def main(args):
         def viz_callback(iters_done, s):
             try:
                 from homan_tpu.viz.render_viz import visualize_hand_object
-                frontal, _ = visualize_hand_object(
-                    s, consts, cfg, images=annots.get("images"),
-                    viz_len=1, image_size=256)
-                optim_frames.append(frontal[0])
+                with timers.time("viz_step_snapshots"):
+                    frontal, _ = visualize_hand_object(
+                        s, consts, cfg, images=annots.get("images"),
+                        viz_len=1, image_size=256)
+                    optim_frames.append(frontal[0])
             except Exception as exc:
                 logger.warning("viz_step render failed: %s", exc)
 
-        final_state, history = joint.optimize_hand_object(
-            state, consts, cfg, loss_weights=loss_weights,
-            num_iterations=args.num_joint_iterations,
-            closed_hand_faces=closed_hand_faces,
-            viz_step=args.viz_step if args.viz_step else None,
-            viz_callback=viz_callback if args.viz_step else None)
+        with timers.time("stageC_joint_fit") as hold:
+            final_state, history = joint.optimize_hand_object(
+                state, consts, cfg, loss_weights=loss_weights,
+                num_iterations=args.num_joint_iterations,
+                closed_hand_faces=closed_hand_faces,
+                viz_step=args.viz_step if args.viz_step else None,
+                viz_callback=viz_callback if args.viz_step else None)
+            hold["sync"] = final_state
 
         np.savez(check_path, **postprocess.state_to_dict(final_state))
 
@@ -409,47 +416,50 @@ def main(args):
         try:
             from homan_tpu.viz.render_viz import (make_video, save_image_grid,
                                                   visualize_hand_object)
-            frontal, top_down = visualize_hand_object(
-                final_state, consts, cfg,
-                images=annots.get("images"),
-                viz_len=min(5, args.frame_nb), image_size=256)
-            init_frontal, _ = visualize_hand_object(
-                state, consts, cfg, images=annots.get("images"),
-                viz_len=min(5, args.frame_nb), image_size=256)
-            save_image_grid(
-                {"frontal": frontal, "top_down": top_down,
-                 "init": init_frontal},
-                os.path.join(sample_folder, "final_points.png"))
-            make_video([np.concatenate([f, t], axis=1)
-                        for f, t in zip(frontal, top_down)],
-                       os.path.join(sample_folder, "final_points.webm"),
-                       fps=8)
-            if optim_frames:  # optimization-evolution video
-                make_video([init_frontal[0]] + optim_frames + [frontal[0]],
-                           os.path.join(sample_folder,
-                                        "optim_evolution.webm"), fps=4)
+            with timers.time("viz_final"):
+                frontal, top_down = visualize_hand_object(
+                    final_state, consts, cfg,
+                    images=annots.get("images"),
+                    viz_len=min(5, args.frame_nb), image_size=256)
+                init_frontal, _ = visualize_hand_object(
+                    state, consts, cfg, images=annots.get("images"),
+                    viz_len=min(5, args.frame_nb), image_size=256)
+                save_image_grid(
+                    {"frontal": frontal, "top_down": top_down,
+                     "init": init_frontal},
+                    os.path.join(sample_folder, "final_points.png"))
+                make_video([np.concatenate([f, t], axis=1)
+                            for f, t in zip(frontal, top_down)],
+                           os.path.join(sample_folder, "final_points.webm"),
+                           fps=8)
+                if optim_frames:  # optimization-evolution video
+                    make_video(
+                        [init_frontal[0]] + optim_frames + [frontal[0]],
+                        os.path.join(sample_folder,
+                                     "optim_evolution.webm"), fps=4)
         except Exception as exc:  # viz failures must not kill fits
             logger.warning("visualization failed: %s", exc)
 
         # Metrics vs GT when the dataset provides it
         sample_metrics = {}
-        fit = postprocess.post_process(
-            final_state, consts.mano_params_by_side,
-            consts.verts_object_og, cfg)
-        if "verts3d" in annots["objects"][0] and annots["objects"][0][
-                "verts3d"] is not None:
-            import jax.numpy as jnp
-            gt_obj = jnp.asarray(annots["objects"][0]["verts3d"])
-            m = pointmetrics.get_point_metrics(gt_obj, fit["verts_object"])
-            for k, v in m.items():
-                sample_metrics[f"{k}_obj"] = v
-        gt_hand = annots["hands"][0].get("verts3d")
-        if gt_hand is not None and np.abs(gt_hand).sum() > 0:
-            import jax.numpy as jnp
-            m = pointmetrics.get_point_metrics(
-                jnp.asarray(gt_hand).reshape(-1, 778, 3),
-                fit["verts_hand"])
-            sample_metrics["verts_dists_hand"] = m["verts_dists"]
+        with timers.time("metrics_postprocess"):
+            fit = postprocess.post_process(
+                final_state, consts.mano_params_by_side,
+                consts.verts_object_og, cfg)
+            if "verts3d" in annots["objects"][0] and annots["objects"][0][
+                    "verts3d"] is not None:
+                import jax.numpy as jnp
+                gt_obj = jnp.asarray(annots["objects"][0]["verts3d"])
+                m = pointmetrics.get_point_metrics(gt_obj, fit["verts_object"])
+                for k, v in m.items():
+                    sample_metrics[f"{k}_obj"] = v
+            gt_hand = annots["hands"][0].get("verts3d")
+            if gt_hand is not None and np.abs(gt_hand).sum() > 0:
+                import jax.numpy as jnp
+                m = pointmetrics.get_point_metrics(
+                    jnp.asarray(gt_hand).reshape(-1, 778, 3),
+                    fit["verts_hand"])
+                sample_metrics["verts_dists_hand"] = m["verts_dists"]
 
         for k, v in history.items():
             sample_metrics.setdefault(f"final_{k}", []).append(
@@ -462,6 +472,7 @@ def main(args):
                                     for k, v in history.items()}}, f)
         with open(os.path.join(args.result_root, "results.pkl"), "wb") as f:
             pickle.dump({"opts": vars(args), "metrics": dict(all_metrics)}, f)
+        logger.info("[%d] stage timers:\n%s", sample_idx, timers.report())
         print(f"[{sample_idx}] done; final loss "
               f"{float(np.asarray(history['loss'])[-1]):.4f}")
 
