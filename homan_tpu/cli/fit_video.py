@@ -307,7 +307,8 @@ def main(args):
             print(f"Skipping existing {check_path}")
             continue
 
-        annots = dataset[sample_idx]
+        with timers.time("annots_fetch"):
+            annots = dataset[sample_idx]
         indep_fit_path = os.path.join(sample_folder, "indep_fit.pkl")
 
         if args.resume:
@@ -342,8 +343,9 @@ def main(args):
                         evidence_root=args.evidence_root,
                         sample_folder=sample_folder)
             state_override = None
-            with open(indep_fit_path, "wb") as f:
-                pickle.dump(indep, f)
+            with timers.time("save_indep"):
+                with open(indep_fit_path, "wb") as f:
+                    pickle.dump(indep, f)
             if prewarm_thread is not None:
                 # Join before the real stage C so the two identical compiles
                 # never race (the real call then hits the executable cache).
@@ -356,26 +358,33 @@ def main(args):
         camintr_nc = np.asarray(annots["camera"]["K"], np.float64).copy()
         camintr_nc[:, :2] = camintr_nc[:, :2] / image_size
 
-        state, consts, cfg = build_joint_inputs(
-            indep["person_parameters"], indep["object_parameters"],
-            indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
-            indep["hand_sides"], mano_layer, image_size, args.rend_size,
-            (image_size, image_size), sdf_mode=args.sdf_mode,
-            collision_mode=args.collision_mode)
+        with timers.time("build_joint_inputs"):
+            state, consts, cfg = build_joint_inputs(
+                indep["person_parameters"], indep["object_parameters"],
+                indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
+                indep["hand_sides"], mano_layer, image_size, args.rend_size,
+                (image_size, image_size), sdf_mode=args.sdf_mode,
+                collision_mode=args.collision_mode)
         if state_override is not None:
             state = postprocess.state_from_dict(state_override)
 
         # Edge-budget sanity: a contour edge dropped by the per-tile top-k
         # corrupts winding regions silently; warn while there is margin.
+        # Runs on the CPU backend: it is a host diagnostic, and its two small
+        # programs cost ~40 s of remote-TPU relay compile if placed there.
         try:
             from homan_tpu.fit import model as M2
             from homan_tpu.render.rasterizer import (RasterSettings,
                                                      check_edge_budget)
-            vo, _ = M2.get_verts_object_jit(state, consts)
-            budget = check_edge_budget(vo, consts.faces_object,
-                                       consts.camintr_rois_object,
-                                       RasterSettings(
-                                           image_size=args.rend_size))
+            from homan_tpu.viz.render_viz import _viz_device_ctx
+            with timers.time("edge_budget_check"), _viz_device_ctx():
+                state_h = jax.device_get(state)
+                consts_h = jax.device_get(consts)
+                vo, _ = M2.get_verts_object_jit(state_h, consts_h)
+                budget = check_edge_budget(vo, consts_h.faces_object,
+                                           consts_h.camintr_rois_object,
+                                           RasterSettings(
+                                               image_size=args.rend_size))
             if budget["utilization"] > 0.8:
                 logger.warning(
                     "edge budget %d/%d (%.0f%%) at the initial pose — raise "
@@ -440,16 +449,21 @@ def main(args):
         except Exception as exc:  # viz failures must not kill fits
             logger.warning("visualization failed: %s", exc)
 
-        # Metrics vs GT when the dataset provides it
+        # Metrics vs GT when the dataset provides it. A single clip's point
+        # metrics are small matmuls — the CPU backend skips two remote-TPU
+        # program compiles (eval_ho3d keeps its 64-frame device batches).
         sample_metrics = {}
-        with timers.time("metrics_postprocess"):
+        from homan_tpu.viz.render_viz import _viz_device_ctx
+        with timers.time("metrics_postprocess"), _viz_device_ctx():
             fit = postprocess.post_process(
-                final_state, consts.mano_params_by_side,
-                consts.verts_object_og, cfg)
+                jax.device_get(final_state),
+                jax.device_get(consts.mano_params_by_side),
+                jax.device_get(consts.verts_object_og), cfg)
             if "verts3d" in annots["objects"][0] and annots["objects"][0][
                     "verts3d"] is not None:
                 import jax.numpy as jnp
-                gt_obj = jnp.asarray(annots["objects"][0]["verts3d"])
+                gt_obj = jnp.asarray(np.asarray(
+                    annots["objects"][0]["verts3d"]))
                 m = pointmetrics.get_point_metrics(gt_obj, fit["verts_object"])
                 for k, v in m.items():
                     sample_metrics[f"{k}_obj"] = v
@@ -457,7 +471,7 @@ def main(args):
             if gt_hand is not None and np.abs(gt_hand).sum() > 0:
                 import jax.numpy as jnp
                 m = pointmetrics.get_point_metrics(
-                    jnp.asarray(gt_hand).reshape(-1, 778, 3),
+                    jnp.asarray(np.asarray(gt_hand)).reshape(-1, 778, 3),
                     fit["verts_hand"])
                 sample_metrics["verts_dists_hand"] = m["verts_dists"]
 
