@@ -272,4 +272,177 @@ int obj_parse(const char* path, float* verts, int32_t* faces) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Hard z-buffer Phong rasterizer for host-side visualization.
+//
+// Native equivalent of render/rasterizer.py::rasterize_hard (which itself
+// replaces the reference's pytorch3d eval renders, homan/viz/renderot.py:
+// 71-106): cosmetic overlay/turntable frames are consumed by numpy
+// compositing + video writers on the host, so rendering them on an
+// accelerator (or even compiling the XLA CPU program) is pure overhead.
+// Projection/shading conventions match rasterize_hard exactly: normalized
+// intrinsics, pixel centers at (i + 0.5)/S, two-sided lighting, perspective
+// -correct barycentric Phong with a Blinn-Phong specular.
+// ---------------------------------------------------------------------------
+void raster_phong(const float* verts, int nv, const int32_t* faces, int nf,
+                  const float* K, const float* face_colors, int S,
+                  float znear, const float* light_dir, float ambient,
+                  float diffuse, float specular, float shininess,
+                  float background, int phong,
+                  float* rgb, float* depth_out, uint8_t* sil) {
+  const float eps = 1e-9f;
+  // Project: uv = (K v)_{xy} / max((K v)_z, eps) in [0,1]; px = uv*S - 0.5.
+  std::vector<float> px(nv), py(nv), pz(nv);
+  for (int i = 0; i < nv; i++) {
+    const float* v = verts + 3 * i;
+    float p0 = K[0] * v[0] + K[1] * v[1] + K[2] * v[2];
+    float p1 = K[3] * v[0] + K[4] * v[1] + K[5] * v[2];
+    float p2 = K[6] * v[0] + K[7] * v[1] + K[8] * v[2];
+    float w = p2 > eps ? p2 : eps;
+    px[i] = (p0 / w) * S - 0.5f;
+    py[i] = (p1 / w) * S - 0.5f;
+    pz[i] = v[2];
+  }
+  // Face normals (3D) + flat shade; area-weighted vertex normals.
+  std::vector<float> fnorm(3 * nf), fshade(nf);
+  std::vector<float> vnorm(3 * nv, 0.0f);
+  float lx = light_dir[0], ly = light_dir[1], lz = light_dir[2];
+  {
+    float ln = std::sqrt(lx * lx + ly * ly + lz * lz);
+    if (ln < eps) ln = 1.0f;
+    lx /= ln; ly /= ln; lz /= ln;
+  }
+  for (int f = 0; f < nf; f++) {
+    const int32_t* id = faces + 3 * f;
+    const float* a = verts + 3 * id[0];
+    const float* b = verts + 3 * id[1];
+    const float* c = verts + 3 * id[2];
+    float e1[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    float e2[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    float n[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                  e1[2] * e2[0] - e1[0] * e2[2],
+                  e1[0] * e2[1] - e1[1] * e2[0]};
+    float nn = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+    float inv = nn > 1e-9f ? 1.0f / nn : 0.0f;
+    fnorm[3 * f] = n[0] * inv;
+    fnorm[3 * f + 1] = n[1] * inv;
+    fnorm[3 * f + 2] = n[2] * inv;
+    fshade[f] = ambient + diffuse * std::fabs(fnorm[3 * f] * lx +
+                                              fnorm[3 * f + 1] * ly +
+                                              fnorm[3 * f + 2] * lz);
+    for (int ci = 0; ci < 3; ci++)
+      for (int d = 0; d < 3; d++) vnorm[3 * id[ci] + d] += fnorm[3 * f + d];
+  }
+  for (int i = 0; i < nv; i++) {
+    float nn = std::sqrt(vnorm[3 * i] * vnorm[3 * i] +
+                         vnorm[3 * i + 1] * vnorm[3 * i + 1] +
+                         vnorm[3 * i + 2] * vnorm[3 * i + 2]);
+    float inv = nn > 1e-9f ? 1.0f / nn : 0.0f;
+    for (int d = 0; d < 3; d++) vnorm[3 * i + d] *= inv;
+  }
+  // Z-buffer fill: winning face id per pixel.
+  std::vector<int32_t> fid(S * S, -1);
+  std::vector<float> zbuf(S * S, 1e6f);
+  for (int f = 0; f < nf; f++) {
+    const int32_t* id = faces + 3 * f;
+    float z0 = pz[id[0]], z1 = pz[id[1]], z2 = pz[id[2]];
+    if (!(z0 > znear && z1 > znear && z2 > znear)) continue;
+    float ax = px[id[0]], ay = py[id[0]];
+    float bx = px[id[1]], by = py[id[1]];
+    float cx = px[id[2]], cy = py[id[2]];
+    float area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax);
+    if (std::fabs(area) < 1e-12f) continue;
+    int x0 = std::max(0, (int)std::floor(std::min({ax, bx, cx})));
+    int x1 = std::min(S - 1, (int)std::ceil(std::max({ax, bx, cx})));
+    int y0 = std::max(0, (int)std::floor(std::min({ay, by, cy})));
+    int y1 = std::min(S - 1, (int)std::ceil(std::max({ay, by, cy})));
+    if (x0 > x1 || y0 > y1) continue;
+    float inv_area = 1.0f / area;
+    float iz0 = 1.0f / std::max(z0, 1e-6f);
+    float iz1 = 1.0f / std::max(z1, 1e-6f);
+    float iz2 = 1.0f / std::max(z2, 1e-6f);
+    for (int y = y0; y <= y1; y++) {
+      for (int x = x0; x <= x1; x++) {
+        float e0 = (cx - bx) * (y - by) - (cy - by) * (x - bx);
+        float e1_ = (ax - cx) * (y - cy) - (ay - cy) * (x - cx);
+        float e2_ = (bx - ax) * (y - ay) - (by - ay) * (x - ax);
+        bool in = (e0 >= 0 && e1_ >= 0 && e2_ >= 0) ||
+                  (e0 <= 0 && e1_ <= 0 && e2_ <= 0);
+        if (!in) continue;
+        float w0 = e0 * inv_area, w1 = e1_ * inv_area, w2 = e2_ * inv_area;
+        float inv_z = w0 * iz0 + w1 * iz1 + w2 * iz2;
+        float z = 1.0f / std::max(inv_z, 1e-6f);
+        int p = y * S + x;
+        if (z < zbuf[p]) { zbuf[p] = z; fid[p] = f; }
+      }
+    }
+  }
+  // Shading pass.
+  for (int p = 0; p < S * S; p++) {
+    int f = fid[p];
+    if (f < 0) {
+      rgb[3 * p] = rgb[3 * p + 1] = rgb[3 * p + 2] = background;
+      depth_out[p] = 0.0f;
+      sil[p] = 0;
+      continue;
+    }
+    depth_out[p] = zbuf[p];
+    sil[p] = 1;
+    const int32_t* id = faces + 3 * f;
+    float fr = 1.0f, fg = 1.0f, fb = 1.0f;
+    if (face_colors) {
+      fr = face_colors[3 * f];
+      fg = face_colors[3 * f + 1];
+      fb = face_colors[3 * f + 2];
+    }
+    if (!phong) {
+      float s = fshade[f];
+      rgb[3 * p] = std::min(1.0f, std::max(0.0f, fr * s));
+      rgb[3 * p + 1] = std::min(1.0f, std::max(0.0f, fg * s));
+      rgb[3 * p + 2] = std::min(1.0f, std::max(0.0f, fb * s));
+      continue;
+    }
+    int x = p % S, y = p / S;
+    float ax = px[id[0]], ay = py[id[0]];
+    float bx = px[id[1]], by = py[id[1]];
+    float cx = px[id[2]], cy = py[id[2]];
+    float area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax);
+    float inv_area = std::fabs(area) > 1e-12f ? 1.0f / area : 1.0f;
+    float e0 = (cx - bx) * (y - by) - (cy - by) * (x - bx);
+    float e1_ = (ax - cx) * (y - cy) - (ay - cy) * (x - cx);
+    float e2_ = (bx - ax) * (y - ay) - (by - ay) * (x - ax);
+    // Perspective-correct barycentrics: screen bary / z, renormalized.
+    float bar[3] = {e0 * inv_area / std::max(pz[id[0]], 1e-6f),
+                    e1_ * inv_area / std::max(pz[id[1]], 1e-6f),
+                    e2_ * inv_area / std::max(pz[id[2]], 1e-6f)};
+    float bs = bar[0] + bar[1] + bar[2];
+    bs = std::fabs(bs) > 1e-9f ? 1.0f / bs : 0.0f;
+    bar[0] *= bs; bar[1] *= bs; bar[2] *= bs;
+    float n[3] = {0, 0, 0}, p3[3] = {0, 0, 0};
+    for (int ci = 0; ci < 3; ci++) {
+      for (int d = 0; d < 3; d++) {
+        n[d] += bar[ci] * vnorm[3 * id[ci] + d];
+        p3[d] += bar[ci] * verts[3 * id[ci] + d];
+      }
+    }
+    float nn = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+    float ninv = nn > 1e-9f ? 1.0f / nn : 0.0f;
+    n[0] *= ninv; n[1] *= ninv; n[2] *= ninv;
+    float pn = std::sqrt(p3[0] * p3[0] + p3[1] * p3[1] + p3[2] * p3[2]);
+    float pinv = pn > 1e-9f ? 1.0f / pn : 0.0f;
+    float vx = -p3[0] * pinv, vy = -p3[1] * pinv, vz = -p3[2] * pinv;
+    float hx = lx + vx, hy = ly + vy, hz = lz + vz;
+    float hn = std::sqrt(hx * hx + hy * hy + hz * hz);
+    float hinv = hn > 1e-9f ? 1.0f / hn : 0.0f;
+    hx *= hinv; hy *= hinv; hz *= hinv;
+    float lam = ambient + diffuse * std::fabs(n[0] * lx + n[1] * ly +
+                                              n[2] * lz);
+    float spec = specular * std::pow(
+        std::fabs(n[0] * hx + n[1] * hy + n[2] * hz), shininess);
+    rgb[3 * p] = std::min(1.0f, std::max(0.0f, fr * lam + spec));
+    rgb[3 * p + 1] = std::min(1.0f, std::max(0.0f, fg * lam + spec));
+    rgb[3 * p + 2] = std::min(1.0f, std::max(0.0f, fb * lam + spec));
+  }
+}
+
 }  // extern "C"

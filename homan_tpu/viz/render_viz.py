@@ -93,13 +93,28 @@ def render_scene(verts_list: Sequence[np.ndarray],
     faces_packed, colors = mesh_lib.get_faces_and_textures(
         [v[:1] for v in verts_np], faces_list, color_names)
     # faces are per-part offsets into a per-frame concatenated vertex buffer
-    topo = MeshTopology.from_faces(faces_packed[0])
+    K_np = np.asarray(K, np.float32)
+    colors_np = np.asarray(colors[0], np.float32)
+    faces_np = np.asarray(faces_packed[0])
+
+    from homan_tpu import native as native_lib
+    if native_lib.raster_available() and VIZ_DEVICE == "cpu":
+        # Pure host path: ~1 ms/frame, no compile at all (bit-identical to
+        # rasterize_hard; see tests/test_native.py).
+        frames = []
+        for i in range(B):
+            out = native_lib.raster_phong(scene_verts[i], faces_np, K_np[i],
+                                          colors_np, image_size=image_size)
+            img = images[i] if images is not None else None
+            frames.append(composite(out["rgb"],
+                                    out["sil"].astype(np.float32), img))
+        return frames
+
+    topo = MeshTopology.from_faces(faces_np)
     settings = RasterSettings(
         image_size=image_size,
         faces_per_tile=min(2048, faces_packed.shape[1] + 64),
         edges_per_tile=256)
-    K_np = np.asarray(K, np.float32)
-    colors_np = np.asarray(colors[0], np.float32)
     frames = []
     for start in range(0, B, max_in_batch):
         sl = slice(start, min(start + max_in_batch, B))

@@ -55,3 +55,63 @@ def test_obj_parse_matches_python(tmp_path):
     v2, f2 = py_load(p)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
     np.testing.assert_array_equal(f1, f2)
+
+
+def test_raster_phong_matches_rasterize_hard():
+    """The native z-buffer viz renderer is bit-equivalent (float eps) to the
+    XLA rasterize_hard it replaces on the host path."""
+    if not native.raster_available():
+        pytest.skip("libmeshops.so without raster_phong")
+    import jax.numpy as jnp
+    from homan_tpu.render import RasterSettings, rasterize_hard
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    v, f = bumpy_potato(3, 0.08, seed=1)
+    v = np.asarray(v, np.float32) + np.array([0.05, -0.02, 0.6], np.float32)
+    K = np.array([[1.2, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32)
+    S = 128
+    colors = np.tile(np.array([[0.8, 0.6, 0.2]], np.float32),
+                     (f.shape[0], 1))
+    for shading in ("phong", "flat"):
+        out_x = rasterize_hard(
+            jnp.asarray(v)[None], MeshTopology.from_faces(np.asarray(f)),
+            jnp.asarray(K)[None], jnp.asarray(colors),
+            RasterSettings(image_size=S,
+                           faces_per_tile=min(2048, f.shape[0] + 64)),
+            shading=shading)
+        out_n = native.raster_phong(v, f, K, colors, image_size=S,
+                                    shading=shading)
+        sx = np.asarray(out_x["sil"])[0]
+        assert (sx == out_n["sil"]).mean() == 1.0
+        assert sx.mean() > 0.02  # scene actually visible
+        both = sx & out_n["sil"]
+        np.testing.assert_allclose(np.asarray(out_x["depth"])[0][both],
+                                   out_n["depth"][both], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_x["rgb"])[0][both],
+                                   out_n["rgb"][both], atol=1e-4)
+
+
+def test_render_scene_uses_native_path():
+    """render_scene returns identical frames through the native fast path
+    and the XLA fallback."""
+    if not native.raster_available():
+        pytest.skip("libmeshops.so without raster_phong")
+    from homan_tpu.viz import render_viz
+
+    v, f = bumpy_potato(2, 0.1, seed=0)
+    v = np.asarray(v, np.float32)[None] + np.array([0, 0, 0.7], np.float32)
+    K = np.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]], np.float32)
+    frames_native = render_viz.render_scene([v], [np.asarray(f)], ["gold"],
+                                            K, image_size=64)
+    import homan_tpu.native as native_mod
+    real = native_mod.raster_available
+    try:
+        native_mod.raster_available = lambda: False
+        frames_xla = render_viz.render_scene([v], [np.asarray(f)], ["gold"],
+                                             K, image_size=64)
+    finally:
+        native_mod.raster_available = real
+    assert len(frames_native) == len(frames_xla) == 1
+    # uint8 frames: allow off-by-one from float rounding
+    diff = np.abs(frames_native[0].astype(int) - frames_xla[0].astype(int))
+    assert diff.max() <= 1
