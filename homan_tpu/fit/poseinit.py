@@ -343,6 +343,169 @@ def _snap_size(size: int, tile_px: int, floor: int = 32) -> int:
     return max(floor, size // tile_px * tile_px)
 
 
+# Shape keys already prewarmed in this process (avoid re-executing dummy
+# programs when both the CLI and find_optimal_poses request a prewarm).
+_PREWARMED: set = set()
+
+
+def prewarm_programs(vertices, faces, T: int,
+                     num_initializations: int = 500,
+                     num_iterations: int = 50,
+                     rend_size: int = 256,
+                     settings: RasterSettings | None = None,
+                     prune_to: int | str | None = "auto",
+                     coarse_iterations: int = 35,
+                     parallel_frames: bool = False,
+                     refine_scale: float = 0.5,
+                     candidate_chunk: int = 125,
+                     lw_chamfer: float = 0.0,
+                     block: bool = True):
+    """Compile every program find_optimal_poses will run, on dummy values.
+
+    Stage B traces 4-6 distinct programs (autodepth init at two candidate
+    counts, coarse halving, refinement, full-res rescore) that a cold
+    process compiles SERIALLY as the frame loop encounters them. XLA
+    compiles overlap ~2x when issued concurrently (measured on the axon
+    remote-compile relay), so running this from a background thread — or
+    letting find_optimal_poses spawn it at entry, where it overlaps the
+    frame-0 coarse compile — cuts the serial compile chain to roughly its
+    longest member. Dummy executions cost ~2 s of device time; repeated
+    calls with the same shapes are no-ops (_PREWARMED).
+
+    Mirrors find_optimal_poses' static-shape derivation exactly; arguments
+    have the same meaning. `block=False` returns the daemon thread.
+    Set HOMAN_TPU_DISABLE_PREWARM=1 to turn prewarming off (local runtimes
+    compile fast enough that the dummy executions are pure overhead).
+    """
+    import os
+    if os.environ.get("HOMAN_TPU_DISABLE_PREWARM") == "1":
+        return None
+    topo = as_topology(faces)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    if settings is None:
+        settings = RasterSettings(image_size=rend_size)
+    key = (int(vertices.shape[0]), int(topo.faces.shape[0]), T,
+           num_initializations, num_iterations, settings, prune_to,
+           coarse_iterations, parallel_frames, refine_scale, candidate_chunk,
+           lw_chamfer)
+    if key in _PREWARMED:
+        return None
+    _PREWARMED.add(key)
+
+    if prune_to == "auto":
+        prune_to = (max(num_initializations // 4, 16)
+                    if num_initializations >= 64 else None)
+    refine_size = (_snap_size(int(settings.image_size * refine_scale),
+                              settings.tile_px)
+                   if refine_scale < 1.0 and settings.image_size > 64
+                   else settings.image_size)
+    refine_settings = (settings if refine_size == settings.image_size
+                       else dataclasses.replace(settings,
+                                                image_size=refine_size))
+    need_rescore = refine_settings.image_size != settings.image_size
+
+    def job():
+        try:
+            C0 = num_initializations
+            C1 = (prune_to if prune_to is not None
+                  and prune_to < num_initializations else C0)
+            K = jnp.asarray(np.array([[300.0, 0, 128], [0, 300.0, 128],
+                                      [0, 0, 1]], np.float32))
+            bbox = np.array([96.0, 96.0, 64.0, 64.0], np.float32)
+            rot6d_id = jnp.broadcast_to(
+                jnp.asarray([[1.0, 0], [0, 1], [0, 0]], jnp.float32)[None],
+                (C0, 3, 2))
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[None],
+                                   (C0, 3, 3))
+            rotated = jnp.einsum("vj,cjk->cvk", vertices, eye)
+            ref = jnp.zeros((refine_settings.image_size,) * 2, jnp.float32)
+            keep = jnp.ones_like(ref)
+            edt = jnp.zeros_like(ref)
+            K_roi = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]],
+                                jnp.float32)
+            trans0 = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 0.6], jnp.float32), (C0, 3))[:, None]
+
+            def run(thunk):
+                jax.block_until_ready(thunk())
+
+            import threading
+            threads = []
+            errors = []
+
+            def spawn(fn):
+                def guarded():
+                    try:
+                        fn()
+                    except Exception as exc:  # surfaced after the joins
+                        errors.append(exc)
+                t = threading.Thread(target=guarded, daemon=True)
+                t.start()
+                threads.append(t)
+
+            # autodepth init at the full candidate count (frame 0)
+            spawn(lambda: run(lambda: tco_init_from_boxes_autodepth(
+                bbox, rotated, K)))
+            if C1 < C0:  # coarse halving program (frame 0 only)
+                spawn(lambda: run(lambda: _fit_candidates(
+                    vertices, topo, ref, keep, edt, K_roi, rot6d_id, trans0,
+                    refine_settings, num_iterations=coarse_iterations,
+                    lw_chamfer=0.0, candidate_chunk=candidate_chunk)))
+                # autodepth at the pruned count (frames 1..T-1)
+                spawn(lambda: run(lambda: tco_init_from_boxes_autodepth(
+                    bbox, rotated[:C1], K)))
+            if parallel_frames and T > 1:
+                n_rest = T - 1
+                spawn(lambda: run(lambda: _fit_candidates(
+                    vertices, topo,
+                    jnp.broadcast_to(ref[None], (n_rest * C1,) + ref.shape),
+                    jnp.broadcast_to(keep[None], (n_rest * C1,) + keep.shape),
+                    jnp.broadcast_to(edt[None], (n_rest * C1,) + edt.shape),
+                    jnp.broadcast_to(K_roi[None], (n_rest * C1, 3, 3)),
+                    rot6d_id[:C1] if C1 < C0 else rot6d_id,
+                    trans0[:C1],
+                    refine_settings, num_iterations=num_iterations,
+                    lw_chamfer=lw_chamfer,
+                    candidate_chunk=min(3 * candidate_chunk, n_rest * C1))))
+            # refinement program (every frame in chained mode; frame 0 in
+            # parallel mode)
+            spawn(lambda: run(lambda: _fit_candidates(
+                vertices, topo, ref, keep, edt, K_roi,
+                rot6d_id[:C1], trans0[:C1], refine_settings,
+                num_iterations=num_iterations, lw_chamfer=lw_chamfer,
+                candidate_chunk=candidate_chunk)))
+            if need_rescore:
+                full_ref = jnp.zeros((settings.image_size,) * 2, jnp.float32)
+                TC = T * C1
+                spawn(lambda: run(lambda: _score_candidates(
+                    vertices, topo,
+                    jnp.broadcast_to(full_ref[None],
+                                     (TC,) + full_ref.shape),
+                    jnp.broadcast_to(jnp.ones_like(full_ref)[None],
+                                     (TC,) + full_ref.shape),
+                    jnp.broadcast_to(K_roi[None], (TC, 3, 3)),
+                    jnp.tile(rot6d_id[:C1], (T, 1, 1)),
+                    jnp.tile(trans0[:C1], (T, 1, 1)), settings,
+                    candidate_chunk=candidate_chunk)))
+            for t in threads:
+                t.join()
+            if errors:
+                raise errors[0]
+        except Exception:  # a failed prewarm must never break the fit
+            _PREWARMED.discard(key)  # allow retry; signals failure to tests
+            import logging
+            logging.getLogger(__name__).debug("stage-B prewarm failed",
+                                              exc_info=True)
+
+    import threading
+    th = threading.Thread(target=job, daemon=True, name="stageB-prewarm")
+    th.start()
+    if block:
+        th.join()
+        return None
+    return th
+
+
 def find_optimal_poses(
     vertices,
     faces,
@@ -402,6 +565,18 @@ def find_optimal_poses(
     vertices = jnp.asarray(vertices, jnp.float32)
     if settings is None:
         settings = RasterSettings(image_size=rend_size)
+    # Overlap the later programs' compiles with the frame-0 coarse compile
+    # (no-op when already prewarmed — e.g. by the CLI during evidence prep,
+    # or on every sample after the first).
+    prewarm_programs(vertices, topo, len(annotations),
+                     num_initializations=num_initializations,
+                     num_iterations=num_iterations, rend_size=rend_size,
+                     settings=settings, prune_to=prune_to,
+                     coarse_iterations=coarse_iterations,
+                     parallel_frames=parallel_frames,
+                     refine_scale=refine_scale,
+                     candidate_chunk=candidate_chunk,
+                     lw_chamfer=lw_chamfer, block=False)
     if prune_to == "auto":
         prune_to = (max(num_initializations // 4, 16)
                     if num_initializations >= 64 else None)

@@ -51,6 +51,22 @@ def prepare_independent_fit_cached(annots: Dict, args, mano_layer,
     if obj_bboxes.ndim == 1:
         obj_bboxes = np.tile(obj_bboxes[None], (T, 1))
 
+    obj = annots["objects"][0]
+    obj_verts_can = np.asarray(obj["canverts3d"])
+    if obj_verts_can.ndim == 3:
+        obj_verts_can = obj_verts_can[0]
+    obj_faces = np.asarray(obj["faces"])
+    if obj_faces.ndim == 3:
+        obj_faces = obj_faces[0]
+    # Overlap stage-B program compiles with the cached-evidence assembly.
+    poseinit.prewarm_programs(
+        obj_verts_can, obj_faces, T,
+        num_initializations=args.num_initializations,
+        num_iterations=args.num_obj_iterations,
+        rend_size=rend_size, settings=RasterSettings(image_size=rend_size),
+        parallel_frames=bool(getattr(args, "stageb_parallel_frames", 0)),
+        block=False)
+
     # Tight per-frame boxes from the cached detection masks when they are
     # class-tagged: the reference's boxes come from the detections
     # themselves (PointRend / 100DOH); dataset boxes can be coarse union

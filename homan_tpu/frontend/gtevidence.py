@@ -86,6 +86,16 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
         obj_faces = obj_faces[0]
     obj_topo = MeshTopology.from_faces(obj_faces)
 
+    # Overlap stage-B program compiles with the GT mask renders below
+    # (find_optimal_poses would otherwise compile them serially).
+    poseinit.prewarm_programs(
+        obj_verts_can, obj_topo, T,
+        num_initializations=args.num_initializations,
+        num_iterations=args.num_obj_iterations,
+        rend_size=rend_size, settings=RasterSettings(image_size=rend_size),
+        parallel_frames=bool(getattr(args, "stageb_parallel_frames", 0)),
+        block=False)
+
     # ---- GT masks ---------------------------------------------------------
     obj_masks = render_full_mask(np.asarray(obj["verts3d"], np.float32),
                                  obj_topo, K_px, image_size)

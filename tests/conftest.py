@@ -11,6 +11,10 @@ as long as no backend has been used yet (true at conftest import time).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The stage-B compile prewarm only pays off over a remote-compile relay;
+# in the CPU test suite its dummy program executions are pure overhead.
+# test_poseinit exercises prewarm_programs explicitly.
+os.environ.setdefault("HOMAN_TPU_DISABLE_PREWARM", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -276,3 +276,27 @@ def test_prime_candidate_count_pads_not_degrades():
         candidate_chunk=5)
     np.testing.assert_allclose(np.asarray(ious_pad), np.asarray(ious_full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_prewarm_programs_runs_and_dedups(monkeypatch):
+    """prewarm_programs compiles every stage-B program on dummy inputs
+    (all branches: coarse halving, pruned autodepth, refinement, full-res
+    rescore) without raising, and repeat calls with the same shape key are
+    no-ops. The conftest disables prewarming suite-wide; re-enable here."""
+    monkeypatch.delenv("HOMAN_TPU_DISABLE_PREWARM", raising=False)
+    v, f = bumpy_potato(1, 0.09, seed=7)
+    settings = RasterSettings(image_size=128, tile_px=64, faces_per_tile=192,
+                              edges_per_tile=192)
+    kwargs = dict(num_initializations=64, num_iterations=3, rend_size=128,
+                  settings=settings, coarse_iterations=2,
+                  candidate_chunk=16)
+    n_before = len(poseinit._PREWARMED)
+    assert poseinit.prewarm_programs(v, f, 2, block=True, **kwargs) is None
+    assert len(poseinit._PREWARMED) == n_before + 1
+    # Same shapes again: key dedup, returns without spawning the thread.
+    assert poseinit.prewarm_programs(v, f, 2, block=False, **kwargs) is None
+    assert len(poseinit._PREWARMED) == n_before + 1
+    # Disabled: no key is recorded.
+    monkeypatch.setenv("HOMAN_TPU_DISABLE_PREWARM", "1")
+    assert poseinit.prewarm_programs(v, f, 3, block=True, **kwargs) is None
+    assert len(poseinit._PREWARMED) == n_before + 1
