@@ -31,7 +31,7 @@ from homan_tpu.core import camera as cam
 from homan_tpu.fit import model as M
 from homan_tpu.interactions import contact as contact_lib
 from homan_tpu.interactions import sdf as sdf_lib
-from homan_tpu.render import RasterSettings, rasterize_soft
+from homan_tpu.render import RasterSettings, rasterize_depth, rasterize_soft
 from homan_tpu.render.rasterizer import MeshTopology
 
 
@@ -425,15 +425,18 @@ def compute_all_losses(state: M.HomanState, consts: M.HomanConsts,
         if full_settings is None:
             full_settings = RasterSettings(image_size=cfg.image_size)
         sils, depths = [], []
-        out_o = rasterize_soft(verts_object, consts.faces_object,
-                               consts.camintr, full_settings, with_depth=True)
-        sils.append(out_o["sil"] > 0.5)
+        # rasterize_depth: depth identical to the with_depth soft path; the
+        # hard coverage gate replaces sil > 0.5 (the ordinal loss never uses
+        # the soft silhouette values, so its shading work is skipped).
+        out_o = rasterize_depth(verts_object, consts.faces_object,
+                                consts.camintr, full_settings)
+        sils.append(out_o["covered"])
         depths.append(out_o["depth"])
         for h in range(cfg.hand_nb):
-            out_h = rasterize_soft(verts_hand[h::cfg.hand_nb],
-                                   consts.faces_hand, consts.camintr,
-                                   full_settings, with_depth=True)
-            sils.append(out_h["sil"] > 0.5)
+            out_h = rasterize_depth(verts_hand[h::cfg.hand_nb],
+                                    consts.faces_hand, consts.camintr,
+                                    full_settings)
+            sils.append(out_h["covered"])
             depths.append(out_h["depth"])
         all_masks = jnp.stack(
             [consts.masks_object]

@@ -487,6 +487,53 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
     return jax.vmap(render_one)(verts, K)
 
 
+def rasterize_depth(verts: jnp.ndarray,
+                    topology,
+                    K: jnp.ndarray,
+                    settings: RasterSettings = RasterSettings()):
+    """Differentiable depth + hard coverage, skipping silhouette shading.
+
+    The ordinal-depth loss (homan/lossutils.py:133-169) consumes the
+    rendered depth (with gradients) and a HARD sil>0.5 gate; the soft
+    silhouette's winding + edge-distance work is pure overhead there. This
+    entry runs only the face-binning depth pass of `_rasterize_soft` —
+    depth is bitwise-identical to rasterize_soft(..., with_depth=True)'s,
+    and `covered` (= depth > 0) matches its sil > 0.5 up to the one-pixel
+    soft band at the boundary.
+
+    Returns dict: depth (B, S, S), covered (B, S, S) bool.
+    """
+    return _rasterize_depth(verts, as_topology(topology), K, settings)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _rasterize_depth(verts, topo: MeshTopology, K, settings: RasterSettings):
+    s = settings
+    S, tp = s.image_size, s.tile_px
+    assert S % tp == 0, "image_size must be a multiple of tile_px"
+    g = S // tp
+    pix = _tile_pixel_centers(S, tp)  # (T, P, 2)
+
+    def render_one(v, k):
+        uv, z = project_ndc(v[None], k[None])
+        uv, z = uv[0], z[0]
+        tri_uv = uv[topo.faces]
+        tri_z = z[topo.faces]
+        area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
+        f_valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
+        f_idx, f_hit = _bin_boxes(tri_uv.min(1), tri_uv.max(1), f_valid,
+                                  s, s.faces_per_tile, margin=0.5 / S)
+        depth_t = jax.vmap(
+            lambda px_, fi, fh: _face_depth(px_, tri_uv[fi], tri_z[fi],
+                                            fh, s))(pix, f_idx, f_hit)
+        depth = depth_t.reshape(g, g, tp, tp).transpose(0, 2, 1, 3) \
+            .reshape(S, S)
+        return depth
+
+    depth = jax.vmap(render_one)(verts, K)
+    return {"depth": depth, "covered": depth > 0}
+
+
 def rasterize_hard(verts: jnp.ndarray,
                    topology,
                    K: jnp.ndarray,

@@ -204,3 +204,24 @@ def test_check_edge_budget():
     tiny = dataclasses.replace(SETTINGS, edges_per_tile=2)
     bad = check_edge_budget(verts, faces, unit_K(), tiny)
     assert bad["overflow"] and bad["utilization"] > 1
+
+
+def test_rasterize_depth_matches_soft_depth_path():
+    """rasterize_depth returns the SAME depth as the with_depth soft path
+    (it runs the identical face pass) and a hard coverage gate that agrees
+    with sil > 0.5 away from the one-pixel soft boundary band."""
+    from homan_tpu.render import rasterize_depth
+
+    verts, faces = sphere_scene(radius=0.25, z=1.0, b=2)
+    soft = rasterize_soft(verts, faces, unit_K(2), SETTINGS, with_depth=True)
+    only = rasterize_depth(verts, faces, unit_K(2), SETTINGS)
+    np.testing.assert_array_equal(np.asarray(soft["depth"]),
+                                  np.asarray(only["depth"]))
+    sil_hard = np.asarray(soft["sil"]) > 0.5
+    covered = np.asarray(only["covered"])
+    disagree = sil_hard != covered
+    assert disagree.mean() < 0.01  # only boundary pixels may differ
+    # gradients flow through depth: d(sum depth)/dz > 0 over covered pixels
+    g = jax.grad(lambda v: rasterize_depth(v, faces, unit_K(2),
+                                           SETTINGS)["depth"].sum())(verts)
+    assert float(jnp.abs(g).sum()) > 0
