@@ -68,8 +68,6 @@ class RasterSettings:
     # cap of the distance term. Must exceed the sigmoid band (2*sqrt(sigma)*S
     # pixels) for gradients to reach.
     bin_margin_px: float = 8.0
-    # Temperature for soft-z aggregation of depth (normalized z units).
-    depth_beta: float = 1e-2
     # Tile shading backend: True = fused Pallas TPU kernel with an analytic
     # VJP (render/pallas_shade.py; measured ~3x faster than the XLA
     # formulation, bit-identical output), False = pure XLA, None = auto
@@ -221,7 +219,14 @@ def _face_inside(pix, tri_uv, hit):
 
 
 def _face_depth(pix, tri_uv, tri_z, hit, s: RasterSettings):
-    """(P,) soft-min depth over covering faces; 0 where uncovered."""
+    """(P,) hard z-buffer depth over covering faces; 0 where uncovered.
+
+    Inverse depth is linear over a triangle in screen space, so the nearest
+    face is the argmax of interpolated 1/z over the covering set — one
+    compare chain instead of a softmax. Gradients flow through the winning
+    face's interpolation only (the hard inside test gets none: envelope),
+    which is exactly a CUDA z-buffer's depth backward.
+    """
     p = pix[:, None, :]
     a = tri_uv[None, :, 0, :]
     b = tri_uv[None, :, 1, :]
@@ -236,12 +241,11 @@ def _face_depth(pix, tri_uv, tri_z, hit, s: RasterSettings):
     inv_z = (e0 / denom / jnp.maximum(tri_z[None, :, 0], 1e-6)
              + e1 / denom / jnp.maximum(tri_z[None, :, 1], 1e-6)
              + e2 / denom / jnp.maximum(tri_z[None, :, 2], 1e-6))
-    z_pix = 1.0 / jnp.maximum(inv_z, 1e-6)
     covered = inside & hit[None, :]
-    z_masked = jnp.where(covered, z_pix, 1e6)
-    w = jax.nn.softmax(-z_masked / s.depth_beta, axis=-1)
-    depth = jnp.sum(w * z_masked, axis=-1)
-    return jnp.where(covered.any(-1), depth, 0.0)
+    inv_masked = jnp.where(covered, inv_z, 0.0)
+    best = jnp.argmax(inv_masked, axis=-1)
+    inv_sel = jnp.take_along_axis(inv_masked, best[:, None], -1)[:, 0]
+    return jnp.where(inv_sel > 0.0, 1.0 / jnp.maximum(inv_sel, 1e-9), 0.0)
 
 
 def rasterize_soft(verts: jnp.ndarray,
@@ -497,13 +501,79 @@ def rasterize_depth(verts: jnp.ndarray,
     rendered depth (with gradients) and a HARD sil>0.5 gate; the soft
     silhouette's winding + edge-distance work is pure overhead there. This
     entry runs only the face-binning depth pass of `_rasterize_soft` —
-    depth is bitwise-identical to rasterize_soft(..., with_depth=True)'s,
-    and `covered` (= depth > 0) matches its sil > 0.5 up to the one-pixel
-    soft band at the boundary.
+    a hard z-buffer (matching NMR's depth render), and `covered`
+    (= depth > 0) matches its sil > 0.5 up to the one-pixel soft band at
+    the boundary. On TPU the shading runs as a fused Pallas kernel with a
+    one-hot-matmul backward (render/pallas_depth.py); on CPU the pure-XLA
+    formulation (same values to fp rounding).
 
     Returns dict: depth (B, S, S), covered (B, S, S) bool.
     """
-    return _rasterize_depth(verts, as_topology(topology), K, settings)
+    topo = as_topology(topology)
+    use_pallas = settings.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        return _rasterize_depth_pallas(verts, topo, K, settings)
+    return _rasterize_depth(verts, topo, K, settings)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _rasterize_depth_pallas(verts, topo: MeshTopology, K,
+                            settings: RasterSettings):
+    from homan_tpu.render.pallas_depth import depth_tiles_pallas
+
+    s = settings
+    S, tp = s.image_size, s.tile_px
+    assert S % tp == 0, "image_size must be a multiple of tile_px"
+    g = S // tp
+    kf = min(s.faces_per_tile, topo.faces.shape[0])
+
+    def prep(v, k):
+        uv, z = project_ndc(v[None], k[None])
+        uv, z = uv[0], z[0]
+        tri_uv = uv[topo.faces]  # (F, 3, 2)
+        tri_z = z[topo.faces]
+        area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
+        f_valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
+        f_idx, f_hit = _bin_boxes(tri_uv.min(1), tri_uv.max(1), f_valid,
+                                  s, kf, margin=0.5 / S)
+
+        # Line coefficients: e(p) = cross(b - a, p - a) = A px + B py + C.
+        def line(a, b):
+            A = -(b[:, 1] - a[:, 1])
+            Bc = b[:, 0] - a[:, 0]
+            C = (b[:, 1] - a[:, 1]) * a[:, 0] - (b[:, 0] - a[:, 0]) * a[:, 1]
+            return A, Bc, C
+
+        sgn = jnp.sign(area)
+        rows, bary = [], []
+        # e0 opposite v0 (edge v1->v2), e1 (v2->v0), e2 (v0->v1): matches
+        # _face_depth's barycentric convention. Sign-folded for inside tests.
+        for i, j in ((1, 2), (2, 0), (0, 1)):
+            A, Bc, C = line(tri_uv[:, i], tri_uv[:, j])
+            rows += [A * sgn, Bc * sgn, C * sgn]
+            bary.append((A, Bc, C))
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+        zi = jnp.maximum(tri_z, 1e-6)  # (F, 3)
+        # invz(p) = sum_i e_i(p)/area / z_i is linear: Az px + Bz py + Cz.
+        for c in range(3):
+            rows.append(sum(bary[i][c] / zi[:, i] for i in range(3))
+                        * inv_area)
+        feat = jnp.stack(rows, axis=0)  # (12, F)
+        per_tile = feat[:, f_idx]  # (12, T, Kf)
+        per_tile = jnp.moveaxis(per_tile, 0, 1)  # (T, 12, Kf)
+        valid = f_hit.astype(jnp.float32)[:, None, :]  # (T, 1, Kf)
+        zeros = jnp.zeros((g * g, 3, kf), jnp.float32)
+        return jnp.concatenate([per_tile, valid, zeros], axis=1)  # (T,16,Kf)
+
+    face_pack = jax.vmap(prep)(verts, K)
+    static = (tp, S, g, kf)
+    depth_t = depth_tiles_pallas(face_pack, static)  # (B, T, tp, tp)
+    B = verts.shape[0]
+    depth = depth_t.reshape(B, g, g, tp, tp).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, S, S)
+    return {"depth": depth, "covered": depth > 0}
 
 
 @partial(jax.jit, static_argnames=("settings",))
