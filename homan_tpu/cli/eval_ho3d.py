@@ -155,8 +155,8 @@ def _batched_inter_metrics(hand: np.ndarray, obj: np.ndarray,
         m = pointmetrics.get_inter_metrics(
             jnp.asarray(hand[s:s + batch]), jnp.asarray(obj[s:s + batch]),
             hand_faces, obj_faces)
-        pen += m["penetration_depths"]
-        contact += [float(c) for c in m["contacts"]]
+        pen += m["pen_depths"]
+        contact += [float(c) for c in m["has_contact"]]
     return pen, contact
 
 

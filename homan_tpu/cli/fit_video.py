@@ -455,25 +455,56 @@ def main(args):
         sample_metrics = {}
         from homan_tpu.viz.render_viz import _viz_device_ctx
         with timers.time("metrics_postprocess"), _viz_device_ctx():
+            import jax.numpy as jnp
             fit = postprocess.post_process(
                 jax.device_get(final_state),
                 jax.device_get(consts.mano_params_by_side),
                 jax.device_get(consts.verts_object_og), cfg)
+            init = postprocess.post_process(
+                jax.device_get(state),
+                jax.device_get(consts.mano_params_by_side),
+                jax.device_get(consts.verts_object_og), cfg)
+            gt_obj = None
             if "verts3d" in annots["objects"][0] and annots["objects"][0][
                     "verts3d"] is not None:
-                import jax.numpy as jnp
                 gt_obj = jnp.asarray(np.asarray(
                     annots["objects"][0]["verts3d"]))
-                m = pointmetrics.get_point_metrics(gt_obj, fit["verts_object"])
-                for k, v in m.items():
-                    sample_metrics[f"{k}_obj"] = v
+                # Final + pre-joint-optimization metrics, reference key
+                # naming (fit_vid_dataset.py:471-516).
+                for suffix, res in (("", fit), ("_init", init)):
+                    m = pointmetrics.get_point_metrics(gt_obj,
+                                                       res["verts_object"])
+                    for k, v in m.items():
+                        sample_metrics[f"{k}_obj{suffix}"] = v
             gt_hand = annots["hands"][0].get("verts3d")
             if gt_hand is not None and np.abs(gt_hand).sum() > 0:
-                import jax.numpy as jnp
-                m = pointmetrics.get_point_metrics(
-                    jnp.asarray(np.asarray(gt_hand)).reshape(-1, 778, 3),
-                    fit["verts_hand"])
-                sample_metrics["verts_dists_hand"] = m["verts_dists"]
+                gt_hand = jnp.asarray(np.asarray(gt_hand)).reshape(-1, 778, 3)
+                for suffix, res in (("", fit), ("_init", init)):
+                    m = pointmetrics.get_point_metrics(gt_hand,
+                                                       res["verts_hand"])
+                    sample_metrics[f"verts_dists_hand{suffix}"] = \
+                        m["verts_dists"]
+                    if gt_obj is not None:
+                        am = pointmetrics.get_align_metrics(
+                            gt_hand, res["verts_hand"], gt_obj,
+                            res["verts_object"])
+                        for k, v in am.items():
+                            sample_metrics[f"{k}{suffix}"] = v
+            # Interaction metrics need no GT (fit_vid_dataset.py:487-493).
+            # Multi-hand clips: all hands of a frame merge into one point
+            # set (the reference's get_inter_metrics intent at
+            # pointmetrics.py:104-111; its 2-hand branch is dead code).
+            try:
+                for suffix, res in (("", fit), ("_init", init)):
+                    vh = res["verts_hand"]
+                    nframes = res["verts_object"].shape[0]
+                    im = pointmetrics.get_inter_metrics(
+                        vh.reshape(nframes, -1, 3), res["verts_object"],
+                        consts.faces_hand, consts.faces_object)
+                    for k, v in im.items():
+                        sample_metrics[f"{k}{suffix}"] = v
+            except Exception as exc:
+                logger.debug("inter metrics skipped: %s", exc)
 
         for k, v in history.items():
             sample_metrics.setdefault(f"final_{k}", []).append(

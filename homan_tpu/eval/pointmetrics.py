@@ -49,31 +49,52 @@ def get_point_metrics(gt_verts: jnp.ndarray, pred_verts: jnp.ndarray) -> Dict:
 
 def get_align_metrics(gt_hand: jnp.ndarray, pred_hand: jnp.ndarray,
                       gt_obj: jnp.ndarray, pred_obj: jnp.ndarray) -> Dict:
-    """Hand-root-centered, hand-scale-normalized errors
-    (homan/eval/pointmetrics.py:61-99): translate both scenes to their hand
-    centroids, scale by the GT hand's std, then measure."""
-    gt_center = gt_hand.mean(axis=1, keepdims=True)
-    pred_center = pred_hand.mean(axis=1, keepdims=True)
-    gt_scale = jnp.linalg.norm(
-        gt_hand - gt_center, axis=-1).std(axis=1)[:, None, None]
-    gt_scale = jnp.maximum(gt_scale, 1e-9)
+    """Hand-centered, hand-scale-normalized errors, exact reference
+    semantics (homan/eval/pointmetrics.py:61-99):
 
-    gt_hand_a = (gt_hand - gt_center)
-    pred_hand_a = (pred_hand - pred_center)
-    gt_obj_a = (gt_obj - gt_center)
-    pred_obj_a = (pred_obj - pred_center)
+      * hand rows are frame-major with the hand index fastest
+        ([h1_t1, h2_t1, h1_t2, ...]); hand_nb = hand rows / object rows;
+        the FIRST hand of each frame ([::hand_nb]) defines centroid+scale;
+      * BOTH scenes are centered by the GT hand centroid — the reference
+        computes `pred_cent` from gt_hand_verts (pointmetrics.py:69), so
+        prediction translation error still shows up in the aligned metrics
+        (quirk kept for numeric parity);
+      * scale = RMS distance from the centroid (sqrt(sum ||v - c||^2 / N),
+        pointmetrics.py:77-81), pred rescaled by gt_scale / pred_scale.
 
-    scale = (jnp.linalg.norm(gt_hand_a, axis=-1).std(axis=1)
-             / jnp.maximum(jnp.linalg.norm(pred_hand_a, axis=-1).std(axis=1),
-                           1e-9))[:, None, None]
-    pred_hand_s = pred_hand_a * scale
-    pred_obj_s = pred_obj_a * scale
+    Args:
+      gt_hand, pred_hand: (B * hand_nb, 778, 3).
+      gt_obj, pred_obj: (B, M, 3).
+    Returns:
+      hand_mean_aligned (B * hand_nb floats), obj_chamfer_aligned (B).
+    """
+    hand_nb = gt_hand.shape[0] // gt_obj.shape[0]
+
+    def per_hand(x):  # (B, 1, 3) -> (B * hand_nb, 1, 3), hand fastest
+        return jnp.repeat(x, hand_nb, axis=0)
+
+    gt_cent = gt_hand[::hand_nb].mean(axis=1, keepdims=True)  # (B, 1, 3)
+    pred_cent = gt_cent  # reference quirk: pred centered by GT centroid
+
+    gt_hand_c = gt_hand - per_hand(gt_cent)
+    pred_hand_c = pred_hand - per_hand(pred_cent)
+    gt_obj_c = gt_obj - gt_cent
+    pred_obj_c = pred_obj - pred_cent
+
+    def rms_scale(hand_c):  # (B,) RMS distance of the first hand's verts
+        first = hand_c[::hand_nb]
+        return jnp.sqrt((first ** 2).sum(-1).sum(1) / first.shape[1])
+
+    gt_scale = jnp.maximum(rms_scale(gt_hand_c), 1e-9)
+    pred_scale = jnp.maximum(rms_scale(pred_hand_c), 1e-9)
+    ratio = (gt_scale / pred_scale)[:, None, None]
+    pred_hand_cs = pred_hand_c * per_hand(ratio)
+    pred_obj_cs = pred_obj_c * ratio
     return {
-        "aligned_verts_hand": [float(x) for x in verts_dists(gt_hand_a,
-                                                             pred_hand_s)],
-        "aligned_chamfer_obj": [float(x) for x in chamfer_distance(gt_obj_a,
-                                                                   pred_obj_s)],
-        "aligned_add-s_obj": [float(x) for x in add_s(gt_obj_a, pred_obj_s)],
+        "hand_mean_aligned": [float(x) for x in verts_dists(gt_hand_c,
+                                                            pred_hand_cs)],
+        "obj_chamfer_aligned": [float(x) for x in chamfer_distance(
+            pred_obj_cs, gt_obj_c)],
     }
 
 
@@ -95,8 +116,8 @@ def get_inter_metrics(hand_verts: jnp.ndarray, obj_verts: jnp.ndarray,
     max_depth = pen.max(axis=1)
     contact = (pen > 0).any(axis=1)
     return {
-        "penetration_depths": [float(x) for x in max_depth],
-        "contacts": [bool(x) for x in contact],
+        "pen_depths": [float(x) for x in max_depth],
+        "has_contact": [bool(x) for x in contact],
     }
 
 

@@ -87,8 +87,15 @@ def test_fit_video_gt_masks_end_to_end(ho3d_tree, tmp_path, monkeypatch):
     losses = np.asarray(res["losses"]["loss"])
     assert losses.shape == (15,)
     assert np.isfinite(losses).all()
-    # hand metric present (GT verts available in this tree)
-    assert "verts_dists_hand" in res["metrics"]
+    # hand metric present (GT verts available in this tree), plus the
+    # reference driver's aligned / init / interaction metric set
+    # (fit_vid_dataset.py:471-516 key naming).
+    for key in ("verts_dists_hand", "verts_dists_hand_init",
+                "chamfer_dists_obj", "chamfer_dists_obj_init",
+                "hand_mean_aligned", "obj_chamfer_aligned",
+                "hand_mean_aligned_init", "pen_depths", "has_contact",
+                "pen_depths_init"):
+        assert key in res["metrics"], key
     # Step-2 refinement recipe (reference README.md:228-238): resume from the
     # step-1 checkpoint with the SDF collision + contact terms switched on.
     # This drives the closed-fist topology derivation through the CLI

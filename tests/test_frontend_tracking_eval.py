@@ -158,6 +158,7 @@ def test_align_metrics_invariant_to_rigid_shift():
     obj = jnp.asarray(v)[None] + 0.2
     m1 = pm.get_align_metrics(hand, hand, obj, obj)
     m2 = pm.get_align_metrics(hand + 5.0, hand + 5.0, obj + 5.0, obj + 5.0)
+    assert set(m1) == {"hand_mean_aligned", "obj_chamfer_aligned"}
     for k in m1:
         np.testing.assert_allclose(m1[k], m2[k], atol=1e-4)
 
@@ -170,9 +171,9 @@ def test_inter_metrics_contact_detection():
     obj_pen = jnp.asarray(v)[None] + 0.05
     far = pm.get_inter_metrics(hand, obj_far, f, f)
     pen = pm.get_inter_metrics(hand, obj_pen, f, f)
-    assert far["contacts"] == [False]
-    assert pen["contacts"] == [True]
-    assert pen["penetration_depths"][0] > far["penetration_depths"][0]
+    assert far["has_contact"] == [False]
+    assert pen["has_contact"] == [True]
+    assert pen["pen_depths"][0] > far["pen_depths"][0]
 
 
 def test_interpolate_sequence():

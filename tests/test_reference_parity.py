@@ -99,20 +99,23 @@ def ref(tmp_path_factory):
     class _BoxMode:
         """detectron2 BoxMode with its two absolute modes; `convert`
         implements the documented standard formulas (XYXY<->XYWH) so the
-        reference's bbox/camera helpers are runnable."""
+        reference's bbox/camera helpers are runnable. Like the real
+        detectron2, tensor inputs stay tensors (maskutils.py:27 calls
+        `.to(device)` on the result)."""
         XYXY_ABS, XYWH_ABS = 0, 1
 
         @staticmethod
         def convert(box, from_mode, to_mode):
-            box = np.asarray(box, np.float64).copy()
-            if from_mode == to_mode:
-                return box
-            if from_mode == _BoxMode.XYXY_ABS:  # -> XYWH
-                box[..., 2] -= box[..., 0]
-                box[..., 3] -= box[..., 1]
-            else:  # XYWH -> XYXY
-                box[..., 2] += box[..., 0]
-                box[..., 3] += box[..., 1]
+            is_torch = isinstance(box, torch.Tensor)
+            box = (box.clone().double() if is_torch
+                   else np.asarray(box, np.float64).copy())
+            if from_mode != to_mode:
+                if from_mode == _BoxMode.XYXY_ABS:  # -> XYWH
+                    box[..., 2] -= box[..., 0]
+                    box[..., 3] -= box[..., 1]
+                else:  # XYWH -> XYXY
+                    box[..., 2] += box[..., 0]
+                    box[..., 3] += box[..., 1]
             return box
 
     _module("detectron2")
@@ -176,12 +179,74 @@ def ref(tmp_path_factory):
         _module("handmocap.hand_mocap_api", HandMocap=object)
         _module("handmocap.hand_bbox_detector", HandBboxDetector=object)
         import homan.mocap as ref_mocap
+
+        # homan/lib2d/maskutils.py: BitMasks with detectron2's ROIAlign crop
+        # semantics, implemented via OUR frontend.masks.crop_and_resize — the
+        # crop op is shared on purpose, so the parity test targets the
+        # reference's occlusion/square-box/K_roi logic, not the (already
+        # contract-tested) crop kernel.
+        from homan_tpu.frontend import masks as our_masks
+
+        class _RoiBitMasks:
+            def __init__(self, t):
+                self.t = np.asarray(torch.as_tensor(t).float())
+
+            def crop_and_resize(self, boxes, mask_size):
+                out = our_masks.crop_and_resize(
+                    self.t, np.asarray(torch.as_tensor(boxes).float()),
+                    mask_size)
+                return torch.as_tensor(out) >= 0.5
+
+        import sys as _sys
+        setattr(_sys.modules["detectron2.structures"], "BitMasks",
+                _RoiBitMasks)
+
+        # libyana kcrop contract (crop+resize intrinsics update), numpy.
+        def _kcrop(K, boxes, out_sizes):
+            Kn = np.asarray(torch.as_tensor(K).float()).copy()
+            bx = np.asarray(torch.as_tensor(boxes).float())
+            for i in range(Kn.shape[0]):
+                x1, y1, x2, y2 = bx[i]
+                sx = out_sizes[i] / max(x2 - x1, 1e-9)
+                sy = out_sizes[i] / max(y2 - y1, 1e-9)
+                Kn[i, 0, 0] *= sx
+                Kn[i, 0, 1] *= sx
+                Kn[i, 0, 2] = (Kn[i, 0, 2] - x1) * sx
+                Kn[i, 1, 1] *= sy
+                Kn[i, 1, 2] = (Kn[i, 1, 2] - y1) * sy
+            return torch.as_tensor(Kn)
+
+        _module("libyana.lib3d")
+        _module("libyana.lib3d.kcrop", get_K_crop_resize=_kcrop)
+        import homan.lib2d.maskutils as ref_maskutils
+
+        # homan/eval/: py3drendutils never exercised; chamfer_distance
+        # stubbed with its mathematical definition (the reference's own
+        # comment at pointmetrics.py:20-28 documents the equivalence).
+        _module("libyana.renderutils")
+        _module("libyana.renderutils.py3drendutils",
+                batch_render=lambda *a, **k: None)
+
+        def _chamfer_distance(a, b, batch_reduction="mean"):
+            d2 = (a[:, :, None] - b[:, None]).pow(2).sum(-1)
+            loss = d2.min(2)[0].mean(1) + d2.min(1)[0].mean(1)
+            if batch_reduction == "mean":
+                loss = loss.mean()
+            return loss, None
+
+        _module("pytorch3d")
+        _module("pytorch3d.loss")
+        _module("pytorch3d.loss.chamfer", chamfer_distance=_chamfer_distance)
+        import homan.eval.ho3devalutils as ref_ho3devalutils
+        import homan.eval.pointmetrics as ref_pointmetrics
     finally:
         os.chdir(old_cwd)
     return types.SimpleNamespace(
         geometry=ref_geometry, camera=ref_camera, optitrans=ref_optitrans,
         chunkvids=ref_chunkvids, contactloss=ref_contactloss,
-        lossutils=ref_lossutils, losses=ref_losses, mocap=ref_mocap)
+        lossutils=ref_lossutils, losses=ref_losses, mocap=ref_mocap,
+        maskutils=ref_maskutils, ho3devalutils=ref_ho3devalutils,
+        pointmetrics=ref_pointmetrics)
 
 
 def test_rot6d_matrix_parity(ref):
@@ -674,3 +739,150 @@ def test_body_mocap_processing_parity(ref):
     ours_b = process_body_estimates(None, bboxes, image_size=640)
     np.testing.assert_allclose(np.asarray(ours_b["bboxes"]),
                                np.asarray(theirs_b["bboxes"].cpu()))
+
+
+def test_interpolate_res_parity(ref):
+    """Chunk->full-rate interpolation matches homan/eval/ho3devalutils.py:
+    53-96 (linspace between sorted chunk frames + clamped end padding) on a
+    3-chunk, 10-frame sequence."""
+    from homan_tpu.eval.pointmetrics import interpolate_sequence
+
+    rng = np.random.RandomState(0)
+    frames = [0, 3, 7]
+    frame_nb = 10
+    keys = ["hand_verts3d", "obj_verts3d"]
+    seq_res = {
+        f: {k: rng.randn(5, 3).astype(np.float32) for k in keys}
+        for f in frames
+    }
+    for f in frames:
+        seq_res[f]["img_path"] = f"/data/seq/{f:04d}.png"
+    theirs = ref.ho3devalutils.interpolate_res(seq_res, frame_nb, keys=keys)
+    for k in keys:
+        ours = interpolate_sequence(
+            frames, np.stack([seq_res[f][k] for f in frames]),
+            np.arange(frame_nb, dtype=np.float64))
+        np.testing.assert_allclose(np.stack(theirs[k]), ours, atol=1e-6)
+
+
+def test_point_metrics_parity(ref):
+    """get_point_metrics values (chamfer / ADD-S / verts_dists) match the
+    reference's aggregation (homan/eval/pointmetrics.py:17-45); the chamfer
+    backend is the definitional pairwise form on both sides."""
+    from homan_tpu.eval import pointmetrics as pm
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    gt = rng.randn(3, 40, 3).astype(np.float32)
+    pred = (gt + 0.1 * rng.randn(3, 40, 3)).astype(np.float32)
+    theirs = ref.pointmetrics.get_point_metrics(torch.as_tensor(gt),
+                                                torch.as_tensor(pred))
+    ours = pm.get_point_metrics(jnp.asarray(gt), jnp.asarray(pred))
+    for k in ("chamfer_dists", "add-s", "verts_dists"):
+        np.testing.assert_allclose(ours[k], theirs[k], rtol=1e-4, atol=1e-6)
+
+    # Mismatched point counts: verts_dists falls back to ADD-S values in the
+    # reference (pointmetrics.py:41-45); we keep the correspondence metric
+    # only for matched shapes, so compare the shared keys.
+    pred2 = rng.randn(3, 55, 3).astype(np.float32)
+    theirs2 = ref.pointmetrics.get_point_metrics(torch.as_tensor(gt),
+                                                 torch.as_tensor(pred2))
+    np.testing.assert_allclose(
+        [float(x) for x in pm.chamfer_distance(jnp.asarray(gt),
+                                               jnp.asarray(pred2))],
+        theirs2["chamfer_dists"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        [float(x) for x in pm.add_s(jnp.asarray(gt), jnp.asarray(pred2))],
+        theirs2["add-s"], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("hand_nb", [1, 2])
+def test_align_metrics_parity(ref, hand_nb):
+    """get_align_metrics matches homan/eval/pointmetrics.py:61-99 exactly,
+    including the RMS hand scale and the pred-centered-by-GT-centroid quirk
+    (pointmetrics.py:69), for 1- and 2-hand layouts."""
+    from homan_tpu.eval import pointmetrics as pm
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    B = 3
+    gt_hand = rng.randn(B * hand_nb, 30, 3).astype(np.float32)
+    pred_hand = (gt_hand + 0.2 * rng.randn(*gt_hand.shape) + 0.5).astype(
+        np.float32) * 1.3
+    gt_obj = rng.randn(B, 25, 3).astype(np.float32)
+    pred_obj = (gt_obj * 0.8 + 0.3).astype(np.float32)
+
+    theirs = ref.pointmetrics.get_align_metrics(
+        torch.as_tensor(gt_hand), torch.as_tensor(pred_hand),
+        torch.as_tensor(gt_obj), torch.as_tensor(pred_obj))
+    ours = pm.get_align_metrics(jnp.asarray(gt_hand), jnp.asarray(pred_hand),
+                                jnp.asarray(gt_obj), jnp.asarray(pred_obj))
+    assert set(ours) == set(theirs)
+    for k in theirs:
+        np.testing.assert_allclose(ours[k], theirs[k], rtol=1e-4, atol=1e-6)
+
+
+def test_add_occlusions_parity(ref):
+    """Occlusion-aware ROI object masks match homan/lib2d/maskutils.py:16-38
+    (-1 where the occluder covers, original mask drawn back)."""
+    from homan_tpu.frontend import masks as our_masks
+
+    rng = np.random.RandomState(3)
+    R = our_masks.REND_SIZE
+    img = 96
+    # Two ROI object masks + square xywh boxes inside the image.
+    masks = [np.zeros((R, R), bool) for _ in range(2)]
+    masks[0][60:160, 40:120] = True
+    masks[1][10:80, 100:220] = True
+    boxes = [np.array([12.0, 20.0, 48.0, 48.0], np.float32),
+             np.array([30.0, 8.0, 56.0, 56.0], np.float32)]
+    occluder = np.zeros((2, img, img), np.float32)
+    occluder[0, 25:60, 18:44] = 1.0
+    occluder[1, 5:30, 40:80] = 1.0
+
+    theirs = ref.maskutils.add_occlusions(
+        [m.copy() for m in masks], torch.as_tensor(occluder),
+        [b.copy() for b in boxes])
+    ours = our_masks.add_occlusions(masks, occluder, boxes)
+    for t, o in zip(theirs, ours):
+        np.testing.assert_array_equal(np.asarray(t), o)
+    assert any((np.asarray(t) == -1).any() for t in theirs), \
+        "test scene produced no occluded pixels"
+
+
+def test_add_target_hand_occlusions_parity(ref):
+    """Hand target masks + ROI intrinsics match homan/lib2d/maskutils.py:
+    41-81: square/expanded person boxes, object pixels marked -1, K_roi
+    scaled to the normalized rendering space."""
+    from homan_tpu.frontend import masks as our_masks
+
+    rng = np.random.RandomState(4)
+    img = 120
+    B = 2
+    person_masks = np.zeros((B, img, img), np.float32)
+    person_masks[0, 30:90, 20:70] = 1.0
+    person_masks[1, 40:110, 55:100] = 1.0
+    tight = np.array([[20.0, 30.0, 70.0, 90.0],
+                      [55.0, 40.0, 100.0, 110.0]], np.float32)
+    full_mask = np.zeros((img, img), np.float32)
+    full_mask[50:80, 45:95] = 1.0
+    K = np.array([[150.0, 0.0, 60.0], [0.0, 150.0, 60.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+
+    theirs = ref.maskutils.add_target_hand_occlusions(
+        {"bboxes": torch.as_tensor(tight.copy()),
+         "masks": torch.as_tensor(person_masks.copy())},
+        {"full_mask": torch.as_tensor(full_mask.copy())},
+        torch.as_tensor(K.copy()), square_expand=0.1, debug=False)
+    ours = our_masks.add_target_hand_occlusions(
+        {"bboxes": tight.copy(), "masks": person_masks.copy()},
+        {"full_mask": full_mask.copy()}, K.copy(), square_expand=0.1,
+        rend_size=256)
+
+    np.testing.assert_allclose(np.asarray(theirs["square_bboxes"]),
+                               ours["square_bboxes"], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(theirs["target_masks"]),
+                                  ours["target_masks"])
+    assert (ours["target_masks"] == -1).any(), "no object-occluded pixels"
+    np.testing.assert_allclose(np.asarray(theirs["K_roi"]), ours["K_roi"],
+                               rtol=1e-5, atol=1e-6)
