@@ -49,8 +49,19 @@ CAMEXTR3 = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
 
 def get_args(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--results_root", required=True)
+    parser.add_argument("--results_root",
+                        help="experiment root holding samples/*/joint_fit*")
+    parser.add_argument("--root", help="reference-compatible alias for "
+                        "--results_root (evalho3drecons.py:25)")
+    parser.add_argument("--dataset", default="ho3d", choices=["ho3d"],
+                        help="accepted for reference CLI compatibility; the "
+                             "official protocol is HO3D-specific")
     parser.add_argument("--split", default="test")
+    parser.add_argument("--frame_nb", default=10, type=int,
+                        help="frames per chunk used when fitting "
+                             "(evalho3drecons.py:26)")
+    parser.add_argument("--box_mode", default="gt", choices=["gt", "track"])
+    parser.add_argument("--chunk_step", default=1, type=int)
     parser.add_argument("--mano_root", default="extra_data/mano")
     parser.add_argument("--dump_codalab", action="store_true")
     parser.add_argument("--report", action="store_true")
@@ -58,7 +69,12 @@ def get_args(argv=None):
     parser.add_argument("--display_freq", default=1000, type=int,
                         help="turntable video every N full-rate frames "
                              "(evalho3drecons.py:37)")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.results_root is None:
+        args.results_root = args.root
+    if args.results_root is None:
+        parser.error("one of --results_root / --root is required")
+    return args
 
 
 def collect_sequence_results(results_root: str, dataset, mano_layer):
@@ -375,6 +391,8 @@ def main(args):
     from homan_tpu.core.mano import ManoLayer
     from homan_tpu.data.factory import get_dataset
     dataset, _ = get_dataset("ho3d", split=args.split, load_img=False,
+                             frame_nb=args.frame_nb, box_mode=args.box_mode,
+                             chunk_step=args.chunk_step,
                              mano_root=args.mano_root)
     if os.path.exists(os.path.join(args.mano_root, "MANO_RIGHT.pkl")):
         mano_layer = ManoLayer.from_folder(args.mano_root)

@@ -57,6 +57,19 @@ def get_args(argv=None):
     parser.add_argument("--gt_masks", choices=[0, 1], default=0, type=int)
     parser.add_argument("--evidence_root", type=str,
                         help="cached detections (frontend.evidence format)")
+    parser.add_argument("--hand_checkpoint",
+                        default="extra_data/hand_module/pretrained_weights/"
+                                "pose_shape_best.pth",
+                        help="accepted for reference CLI compatibility "
+                             "(fit_vid_dataset.py:56-60): the FrankMocap "
+                             "checkpoint for a LIVE hand regressor; this "
+                             "pipeline consumes recorded detections "
+                             "(--evidence_root) or GT synthesis "
+                             "(--gt_masks) instead")
+    parser.add_argument("--smpl_path", default="extra_data/smpl",
+                        help="accepted for reference CLI compatibility "
+                             "(fit_vid_dataset.py:61-64); see "
+                             "--hand_checkpoint")
     parser.add_argument("--optimize_mano", choices=[0, 1], default=1, type=int)
     parser.add_argument("--optimize_mano_beta", choices=[0, 1], default=1,
                         type=int)

@@ -24,10 +24,26 @@ def get_args(argv=None):
     parser.add_argument("--split", default="val")
     parser.add_argument("--box_source", default="gt", choices=["gt", "cached"])
     parser.add_argument("--detections_root", type=str)
-    parser.add_argument("--save_root", default="data/boxes")
+    parser.add_argument("--save_root", default=None,
+                        help="output folder for boxes_{dataset}_{split}.pkl")
+    parser.add_argument("--boxes_folder", default="data/boxes",
+                        help="reference-compatible alias for --save_root "
+                             "(track_dataset.py:44-47)")
+    parser.add_argument("--save_folder", default="tracks",
+                        help="accepted for reference CLI compatibility "
+                             "(debug track dumps; unused here)")
+    parser.add_argument("--use_cache", action="store_true",
+                        help="accepted for reference CLI compatibility "
+                             "(dataset index caches are always on)")
+    parser.add_argument("--only_missing", action="store_true",
+                        help="skip videos already present in the output "
+                             "pickle (track_dataset.py:84-86)")
     parser.add_argument("--data_step", default=1, type=int)
     parser.add_argument("--data_offset", default=0, type=int)
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.save_root is None:
+        args.save_root = args.boxes_folder
+    return args
 
 
 def main(args, dataset=None):
@@ -45,7 +61,7 @@ def main(args, dataset=None):
     for idx in range(args.data_offset, len(dataset), args.data_step):
         sample = dataset[idx]
         key = sample["seq_idx"]
-        if key in tracked:
+        if args.only_missing and key in tracked:
             continue
         boxes = {}
         for hand in sample["hands"]:
