@@ -163,6 +163,28 @@ def get_K_crop_resize(K: jnp.ndarray, boxes_xyxy: jnp.ndarray,
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def get_K_crop_resize_np(K, boxes_xyxy, target_size: int):
+    """Numpy twin of get_K_crop_resize for host-side evidence prep.
+
+    Eagerly dispatching the jnp version costs ~15 device ops per call
+    (~20 ms each over a remote-TPU relay) to produce nine numbers; per-frame
+    evidence loops use this instead. Same formula, same shapes.
+    """
+    import numpy as np
+    K = np.asarray(K, np.float32).copy()
+    boxes = np.asarray(boxes_xyxy, np.float32)
+    sx = target_size / np.maximum(boxes[:, 2] - boxes[:, 0], 1e-9)
+    sy = target_size / np.maximum(boxes[:, 3] - boxes[:, 1], 1e-9)
+    out = np.zeros(boxes.shape[:1] + (3, 3), np.float32)
+    out[:, 0, 0] = K[:, 0, 0] * sx
+    out[:, 0, 1] = K[:, 0, 1] * sx
+    out[:, 0, 2] = (K[:, 0, 2] - boxes[:, 0]) * sx
+    out[:, 1, 1] = K[:, 1, 1] * sy
+    out[:, 1, 2] = (K[:, 1, 2] - boxes[:, 1]) * sy
+    out[:, 2, 2] = 1.0
+    return out
+
+
 def normalize_K(K: jnp.ndarray, size) -> jnp.ndarray:
     """Divide the first two rows of K by the image size (`orig_size=1` space)."""
     K = jnp.asarray(K, jnp.float32)

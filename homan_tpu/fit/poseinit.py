@@ -122,6 +122,46 @@ def tco_init_from_boxes_autodepth(bbox_xywh, model_points_3d, K_px,
     return jnp.concatenate([xy, z], axis=1)
 
 
+@jax.jit
+def _chain_init(vertices, rotations, bbox_xywh, K_px):
+    """Per-frame candidate init fused into ONE program: rotate the canonical
+    verts by every candidate, auto-depth translation fit, rot6d encoding.
+    Eagerly, these are ~8 dispatches per frame (einsum + autodepth + rot6d
+    slicing) at ~20 ms each over a relay-attached TPU."""
+    rotated = jnp.einsum("vj,cjk->cvk", vertices, rotations)
+    trans = tco_init_from_boxes_autodepth(bbox_xywh, rotated,
+                                          K_px)[:, None, :]
+    return geo.matrix_to_rot6d(rotations), trans
+
+
+@partial(jax.jit, static_argnames=("prune_to",))
+def _prune_select(c_ious, rot6d, trans, prune_to: int):
+    """Successive-halving survivor selection (argsort keeps the reference's
+    stable tie order), fused so the gathers don't dispatch eagerly."""
+    keep_idx = jnp.argsort(-c_ious)[:prune_to]
+    return rot6d[keep_idx], trans[keep_idx]
+
+
+_rot6d_to_matrix_jit = jax.jit(geo.rot6d_to_matrix)
+
+
+@jax.jit
+def _select_best(rot_all, trans_all, ious_all, vertices):
+    """Best-motion selection (best mean IoU over the clip,
+    homan/pose_optimization.py:471-474) fused into one program.
+
+    rot_all (T, C, 3, 3), trans_all (T, C, 1, 3), ious_all (T, C).
+    Returns per-frame winner R (T, 3, 3), t (T, 1, 3), transformed verts
+    (T, V, 3), the winning index, and its mean IoU.
+    """
+    mean_ious = ious_all.mean(axis=0)
+    best_idx = jnp.argmax(mean_ious)
+    R = rot_all[:, best_idx]
+    t = trans_all[:, best_idx]
+    vt = jnp.einsum("vj,tjk->tvk", vertices, R) + t
+    return R, t, vt, best_idx, mean_ious[best_idx]
+
+
 def _maxpool_edges(sil: jnp.ndarray, kernel: int = 7) -> jnp.ndarray:
     """maxpool(k, stride 1, same) - sil (homan/pose_optimization.py:136-137).
 
@@ -443,18 +483,27 @@ def prewarm_programs(vertices, faces, T: int,
                 t.start()
                 threads.append(t)
 
-            # autodepth init at the full candidate count (frame 0)
-            spawn(lambda: run(lambda: tco_init_from_boxes_autodepth(
-                bbox, rotated, K)))
+            # fused chain init (rotate + autodepth + rot6d) at the full
+            # candidate count (frame 0)
+            spawn(lambda: run(lambda: _chain_init(vertices, eye, bbox, K)))
+            # fused best-motion selection over (T, C1)
+            spawn(lambda: run(lambda: _select_best(
+                jnp.broadcast_to(eye[:C1][None], (T, C1, 3, 3)),
+                jnp.broadcast_to(trans0[:C1][None], (T, C1, 1, 3)),
+                jnp.zeros((T, C1), jnp.float32), vertices)))
             if C1 < C0:  # coarse halving program (frame 0 only)
                 spawn(lambda: run(lambda: _fit_candidates(
                     vertices, topo, ref, keep, edt, K_roi, rot6d_id, trans0,
                     refine_settings, num_iterations=coarse_iterations,
                     lw_chamfer=0.0, candidate_chunk=candidate_chunk)))
-                # autodepth at the pruned count (frames 1..T-1)
+                # chain init at the pruned count (frames 1..T-1)
+                spawn(lambda: run(lambda: _chain_init(
+                    vertices, eye[:C1], bbox, K)))
+            if parallel_frames and T > 1:
+                # the parallel branch inits rest frames with a raw autodepth
+                # over frame 0's rotated survivors
                 spawn(lambda: run(lambda: tco_init_from_boxes_autodepth(
                     bbox, rotated[:C1], K)))
-            if parallel_frames and T > 1:
                 n_rest = T - 1
                 spawn(lambda: run(lambda: _fit_candidates(
                     vertices, topo,
@@ -593,16 +642,20 @@ def find_optimal_poses(
     key = jax.random.PRNGKey(seed)
 
     def frame_evidence(annot, K):
-        """Full-res evidence; K_roi is normalized (resolution-independent)."""
+        """Full-res evidence; K_roi is normalized (resolution-independent).
+
+        All host math: eager jnp glue here costs ~20 ms/op on a relay-
+        attached TPU and stalls the async dispatch pipeline between frames.
+        """
         mask = np.asarray(annot["target_crop_mask"])
         ref_mask = jnp.asarray((mask > 0).astype(np.float32))
         keep_mask = jnp.asarray((mask >= 0).astype(np.float32))
-        x, y, b = annot["square_bbox"][:3]
-        K_roi_px = cam.get_K_crop_resize(
-            jnp.asarray(K, jnp.float32)[None],
-            jnp.asarray([[x, y, x + b, y + b]], jnp.float32),
-            rend_size)[0]
-        K_roi = cam.normalize_K(K_roi_px, rend_size)
+        x, y, b = (float(v) for v in annot["square_bbox"][:3])
+        K_roi_px = cam.get_K_crop_resize_np(
+            np.asarray(K, np.float32)[None],
+            np.asarray([[x, y, x + b, y + b]], np.float32), rend_size)[0]
+        K_roi_px[:2] /= rend_size  # normalize_K
+        K_roi = jnp.asarray(K_roi_px)
         return mask, ref_mask, keep_mask, K_roi
 
     def refine_evidence(mask):
@@ -642,11 +695,9 @@ def find_optimal_poses(
             rotations = geo.random_rotations(key, num_initializations)
         else:
             rotations = previous_rotations
-        rotated = jnp.einsum("vj,cjk->cvk", vertices, rotations)
-        trans = tco_init_from_boxes_autodepth(
-            np.asarray(annot["bbox"], np.float32), rotated,
-            jnp.asarray(K, jnp.float32))[:, None, :]
-        rot6d = geo.matrix_to_rot6d(rotations)
+        rot6d, trans = _chain_init(vertices, rotations,
+                                   np.asarray(annot["bbox"], np.float32),
+                                   jnp.asarray(K, jnp.float32))
 
         if prune_to is not None and frame_i == 0 and \
                 prune_to < num_initializations:
@@ -657,9 +708,8 @@ def find_optimal_poses(
                 rot6d, trans, refine_settings,
                 num_iterations=coarse_iterations, lw_chamfer=0.0,
                 candidate_chunk=candidate_chunk)
-            keep_idx = jnp.argsort(-c_ious)[:prune_to]
-            rot6d = c_params["rot6d"][keep_idx]
-            trans = c_params["trans"][keep_idx]
+            rot6d, trans = _prune_select(c_ious, c_params["rot6d"],
+                                         c_params["trans"], prune_to)
 
         params, losses, ious, history = _fit_candidates(
             vertices, topo, ref_r, keep_r, edt_r, K_roi,
@@ -667,7 +717,7 @@ def find_optimal_poses(
             num_iterations=num_iterations, lw_chamfer=lw_chamfer,
             candidate_chunk=candidate_chunk)
 
-        rot_final = geo.rot6d_to_matrix(params["rot6d"])
+        rot_final = _rot6d_to_matrix_jit(params["rot6d"])
         previous_rotations = jax.lax.stop_gradient(rot_final)
         all_params.append({
             "rotations": rot_final,
@@ -757,23 +807,24 @@ def find_optimal_poses(
                                       candidate_chunk=candidate_chunk)
         all_ious = list(ious_full.reshape(T, C))
 
-    all_ious = jnp.stack(all_ious)  # (T, C)
-    best_idx = int(jnp.argmax(all_ious.mean(axis=0)))
-
+    # Best-motion selection fused into one program; the per-frame output
+    # dicts are then sliced host-side (eager per-frame gathers otherwise
+    # cost ~5 dispatches x T over a relay-attached TPU).
+    rot_all = jnp.stack([p["rotations"] for p in all_params])  # (T, C, 3, 3)
+    trans_all = jnp.stack([p["translations"] for p in all_params])
+    R_sel, t_sel, vt_sel, best_idx, best_iou = jax.device_get(
+        _select_best(rot_all, trans_all, jnp.stack(all_ious), vertices))
     final = []
-    for frame_params in all_params:
-        R = frame_params["rotations"][best_idx][None]
-        t = frame_params["translations"][best_idx][None]
-        verts_trans = jnp.einsum("vj,bjk->bvk", vertices, R) + t
+    for ti, frame_params in enumerate(all_params):
         final.append({
-            "rotations": R,
-            "translations": t,
-            "verts_trans": verts_trans,
+            "rotations": R_sel[ti][None],
+            "translations": t_sel[ti][None],
+            "verts_trans": vt_sel[ti][None],
             "target_masks": frame_params["target_masks"][None],
             "K_roi": frame_params["K_roi"],
             "masks": frame_params["masks"],
             "verts": vertices[None],
             "full_mask": frame_params["masks"],
-            "best_iou": float(all_ious.mean(0)[best_idx]),
+            "best_iou": float(best_iou),
         })
     return final
