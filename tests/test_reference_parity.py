@@ -700,6 +700,57 @@ def test_contact_loss_parity_stubbed_sdf(ref, monkeypatch):
                                        float(t_metrics[k]), rtol=1e-4)
 
 
+def test_ordinal_depth_loss_parity(ref, monkeypatch):
+    """compute_ordinal_depth_loss vs homan/lossutils.py:133-169.
+
+    The reference function is unreachable in its own driver (the no-arg
+    call at homan/homan.py:507 and `torch.Tensor(0.0)` at lossutils.py:140
+    both raise), so we patch that one dead expression and compare the
+    pair-term SUMS: the per-(i,j) log(1+exp)/|mask| terms must match
+    exactly; the denominators differ by design (ours counts only i != j
+    pairs — documented at homan_tpu/fit/losses.py:309-314 — while the
+    reference's loop also counts the zero-contribution i == j pairs)."""
+    rng = np.random.RandomState(3)
+    B, N, S = 3, 3, 24
+    masks = rng.rand(B, N, S, S) > 0.55
+    sils = [rng.rand(B, S, S) > 0.45 for _ in range(N)]
+    sils[2][1] = False  # one (frame, entity) with zero rendered coverage
+    depths = [(rng.rand(B, S, S) * 3.0).astype(np.float32)
+              for _ in range(N)]
+
+    class _TorchShim:
+        """Proxy for the module-global `torch` that fixes Tensor(0.0)."""
+        Tensor = staticmethod(lambda x: torch.tensor(x))
+
+        def __getattr__(self, name):
+            return getattr(torch, name)
+
+    monkeypatch.setattr(ref.lossutils, "torch", _TorchShim())
+    ref_out = ref.lossutils.compute_ordinal_depth_loss(
+        torch.from_numpy(masks),
+        [torch.from_numpy(s) for s in sils],
+        [torch.from_numpy(d) for d in depths])
+    ref_loss = float(ref_out["loss_depth"])
+
+    import jax.numpy as jnp
+
+    from homan_tpu.fit import losses as L
+    our_out = L.compute_ordinal_depth_loss(
+        jnp.asarray(masks), [jnp.asarray(s) for s in sils],
+        [jnp.asarray(d) for d in depths])
+    our_loss = float(our_out["loss_depth"])
+
+    def coverage(i, j):
+        return int(((sils[i] & sils[j]).sum(axis=(1, 2)) > 0).sum())
+
+    ref_pairs = sum(coverage(i, j) for i in range(N) for j in range(N))
+    our_pairs = sum(coverage(i, j) for i in range(N) for j in range(N)
+                    if i != j)
+    assert ref_pairs > our_pairs > 0
+    np.testing.assert_allclose(our_loss * our_pairs, ref_loss * ref_pairs,
+                               rtol=1e-5)
+
+
 def test_body_mocap_processing_parity(ref):
     """process_mocap_predictions (homan/mocap.py:116-179): weak-persp cam
     rescale to the detection box + left-to-right sort, vs our
