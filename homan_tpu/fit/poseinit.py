@@ -224,6 +224,37 @@ def _score_candidates(vertices, topo, target_mask, keep_mask, K_roi,
     return ious.reshape(Cp)[:C]
 
 
+def candidate_loss_terms(verts, topo, target_mask, keep_mask, edt, K_roi,
+                         settings: RasterSettings, lw_chamfer: float = 0.0):
+    """Per-candidate stage-B loss terms (homan/pose_optimization.py:105-151).
+
+    Returns a dict of (C,) arrays: `mask` (keep-masked silhouette L2),
+    `chamfer` (maxpool-edge x EDT, already weighted by lw_chamfer),
+    `off_xy`/`off_z` (offscreen penalty parts, unweighted), and `iou`.
+    The offscreen xy part lives in our [0, 1] normalized projection space;
+    the reference measures the same excess in NMR's [-1, 1] coords, i.e.
+    exactly 2x ours per unit (the 1e5 barrier weight makes the scale
+    immaterial — asserted by the running-reference parity test).
+    """
+    sil = rasterize_soft(verts, topo, K_roi, settings)["sil"]
+    image = keep_mask * sil
+    l_mask = ((image - target_mask) ** 2).sum(axis=(1, 2))
+    if lw_chamfer > 0:  # static gate, like the lw_ pruning elsewhere
+        l_chamfer = lw_chamfer * (
+            _maxpool_edges(image) * edt).sum(axis=(1, 2))
+    else:
+        l_chamfer = jnp.zeros_like(l_mask)
+    # Offscreen penalty (pose_optimization.py:112-134).
+    proj = cam.batch_proj2d(verts, K_roi)
+    zc = verts[..., 2]
+    off_xy = (jnp.maximum(proj - 1.0, 0.0).sum(axis=(1, 2))
+              + jnp.maximum(-proj, 0.0).sum(axis=(1, 2)))
+    off_z = (jnp.maximum(-zc, 0.0).sum(axis=1)
+             + jnp.maximum(zc - RENDER_FAR, 0.0).sum(axis=1))
+    return {"mask": l_mask, "chamfer": l_chamfer, "off_xy": off_xy,
+            "off_z": off_z, "iou": batch_mask_iou(image, target_mask)}
+
+
 @dataclasses.dataclass
 class PoseFitResult:
     rotations: jnp.ndarray     # (C, 3, 3) refined
@@ -276,28 +307,13 @@ def _fit_candidates(vertices, topo, target_mask, keep_mask, edt, K_roi,
 
     def chunk_loss(params, ev):
         """Loss over one chunk of candidates: leaves lead with chunk."""
-        ref, keep, edtb, Kb = ev["ref"], ev["keep"], ev["edt"], ev["K"]
         R = geo.rot6d_to_matrix(params["rot6d"])
         verts = jnp.einsum("vj,cjk->cvk", vertices, R) + params["trans"]
-        sil = rasterize_soft(verts, topo, Kb, settings)["sil"]
-        image = keep * sil
-        l_mask = ((image - ref) ** 2).sum(axis=(1, 2))
-        if lw_chamfer > 0:  # static gate, like the lw_ pruning elsewhere
-            l_chamfer = lw_chamfer * (
-                _maxpool_edges(image) * edtb).sum(axis=(1, 2))
-        else:
-            l_chamfer = 0.0
-        # Offscreen penalty (pose_optimization.py:112-134) in our [0,1]
-        # normalized projection space.
-        proj = cam.batch_proj2d(verts, Kb)
-        zc = verts[..., 2]
-        off = (jnp.maximum(proj - 1.0, 0.0).sum(axis=(1, 2))
-               + jnp.maximum(-proj, 0.0).sum(axis=(1, 2))
-               + jnp.maximum(-zc, 0.0).sum(axis=1)
-               + jnp.maximum(zc - RENDER_FAR, 0.0).sum(axis=1))
-        total = l_mask + l_chamfer + 1e5 * off
-        iou = batch_mask_iou(image, ref)
-        return total.sum(), (total, iou)
+        t = candidate_loss_terms(verts, topo, ev["ref"], ev["keep"],
+                                 ev["edt"], ev["K"], settings,
+                                 lw_chamfer=lw_chamfer)
+        total = t["mask"] + t["chamfer"] + 1e5 * (t["off_xy"] + t["off_z"])
+        return total.sum(), (total, t["iou"])
 
     def chunked(tree):
         return jax.tree_util.tree_map(

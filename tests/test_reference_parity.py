@@ -87,6 +87,7 @@ def ref(tmp_path_factory):
             self.K, self.R, self.t = K, R, t
             self.dist_coeffs = torch.zeros(
                 (K.shape[0] if K is not None else 1, 5))
+            self.near, self.far = 0.1, 100.0  # NMR Renderer defaults
             self.fixed_sil = None
 
         def __call__(self, verts, faces, K=None, mode=None):
@@ -239,6 +240,7 @@ def ref(tmp_path_factory):
         _module("pytorch3d.loss.chamfer", chamfer_distance=_chamfer_distance)
         import homan.eval.ho3devalutils as ref_ho3devalutils
         import homan.eval.pointmetrics as ref_pointmetrics
+        import homan.pose_optimization as ref_poseopt
     finally:
         os.chdir(old_cwd)
     return types.SimpleNamespace(
@@ -246,7 +248,7 @@ def ref(tmp_path_factory):
         chunkvids=ref_chunkvids, contactloss=ref_contactloss,
         lossutils=ref_lossutils, losses=ref_losses, mocap=ref_mocap,
         maskutils=ref_maskutils, ho3devalutils=ref_ho3devalutils,
-        pointmetrics=ref_pointmetrics)
+        pointmetrics=ref_pointmetrics, poseopt=ref_poseopt)
 
 
 def test_rot6d_matrix_parity(ref):
@@ -749,6 +751,79 @@ def test_ordinal_depth_loss_parity(ref, monkeypatch):
     assert ref_pairs > our_pairs > 0
     np.testing.assert_allclose(our_loss * our_pairs, ref_loss * ref_pairs,
                                rtol=1e-5)
+
+
+def test_stage_b_loss_terms_parity(ref):
+    """Stage-B candidate loss vs PoseOptimizer.forward
+    (homan/pose_optimization.py:105-151): identical silhouettes through both
+    loss stacks must give identical mask L2 and edge-EDT chamfer terms, the
+    same EDT buffer, and offscreen penalties equal up to the documented
+    coordinate-unit factor (reference [-1,1] coords = 2x our [0,1] coords
+    for the xy excess; z terms identical)."""
+    import jax.numpy as jnp
+
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.fit import poseinit
+    from homan_tpu.render import RasterSettings, rasterize_soft
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    rng = np.random.RandomState(7)
+    S, C = 48, 4
+    v, f = bumpy_potato(1, 0.2, seed=4)
+    topo = MeshTopology.from_faces(f)
+    r6 = rng.randn(C, 3, 2).astype(np.float32)
+    trans = np.tile(np.array([[[0.0, 0.0, 0.9]]], np.float32), (C, 1, 1))
+    trans += rng.randn(C, 1, 3).astype(np.float32) * 0.05
+    trans[0, 0, 0] += 1.2  # partially offscreen candidate
+    K = np.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]], np.float32)
+    Kc = jnp.asarray(np.repeat(K, C, axis=0))
+
+    from homan_tpu.core import geometry as geo
+    R = geo.rot6d_to_matrix(jnp.asarray(r6))
+    verts = jnp.einsum("vj,cjk->cvk", jnp.asarray(v), R) + jnp.asarray(trans)
+    settings = RasterSettings(image_size=S, tile_px=16, faces_per_tile=192,
+                              edges_per_tile=192)
+    sil = rasterize_soft(verts, topo, Kc, settings)["sil"]  # (C, S, S)
+
+    # {-1, 0, 1} evidence: shifted render of candidate 1 + occlusion band.
+    ref_image = np.zeros((S, S), np.float32)
+    ref_image[: S - 4, :] = (np.asarray(sil)[1, 4:, :] > 0.5)
+    ref_image[:, :6] = -1.0
+    target = jnp.asarray(np.tile((ref_image > 0).astype(np.float32),
+                                 (C, 1, 1)))
+    keep = jnp.asarray(np.tile((ref_image >= 0).astype(np.float32),
+                               (C, 1, 1)))
+    edt = jnp.asarray(np.tile(poseinit.reference_edge_edt(ref_image),
+                              (C, 1, 1)))
+    lw_chamfer = 0.5
+    ours = poseinit.candidate_loss_terms(
+        verts, topo, target, keep, edt, Kc, settings, lw_chamfer=lw_chamfer)
+
+    model = ref.poseopt.PoseOptimizer(
+        ref_image=ref_image,
+        vertices=torch.from_numpy(v[None].astype(np.float32)),
+        faces=torch.from_numpy(f[None].astype(np.int64)),
+        textures=torch.ones(1, len(f), 1, 1, 1, 3),
+        rotation_init=torch.from_numpy(r6.reshape(C, 3, 2)),
+        translation_init=torch.from_numpy(trans),
+        num_initializations=C,
+        K=torch.from_numpy(K),
+        lw_chamfer=lw_chamfer)
+    model.renderer.fixed_sil = torch.as_tensor(np.asarray(sil))
+    np.testing.assert_allclose(np.asarray(edt[0]),
+                               model.edt_ref_edge[0].numpy(), rtol=1e-5)
+    loss_dict, _, _ = model.forward()
+
+    np.testing.assert_allclose(np.asarray(ours["mask"]),
+                               loss_dict["mask"].detach().numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["chamfer"]),
+                               loss_dict["chamfer"].detach().numpy(),
+                               rtol=1e-4, atol=1e-6)
+    ref_off = loss_dict["offscreen"].detach().numpy()
+    our_off = 1e5 * (2.0 * np.asarray(ours["off_xy"])
+                     + np.asarray(ours["off_z"]))
+    np.testing.assert_allclose(our_off, ref_off, rtol=1e-4, atol=1e-3)
+    assert ref_off[0] > 0  # the shifted candidate is actually offscreen
 
 
 def test_body_mocap_processing_parity(ref):
