@@ -57,11 +57,19 @@ def get_args(argv=None):
                         help="accepted for reference CLI compatibility; the "
                              "official protocol is HO3D-specific")
     parser.add_argument("--split", default="test")
-    parser.add_argument("--frame_nb", default=10, type=int,
+    parser.add_argument("--frame_nb", default=None, type=int,
                         help="frames per chunk used when fitting "
-                             "(evalho3drecons.py:26)")
+                             "(evalho3drecons.py:26); defaults to the value "
+                             "recorded by the fit run (results.pkl opts), "
+                             "else the reference default 10")
     parser.add_argument("--box_mode", default="gt", choices=["gt", "track"])
-    parser.add_argument("--chunk_step", default=1, type=int)
+    parser.add_argument("--chunk_step", default=None, type=int,
+                        help="defaults to the fit run's recorded value "
+                             "(results.pkl opts), else the reference "
+                             "default 1 (evalho3drecons.py:38) — which "
+                             "silently mismatches fit_video's default 4; "
+                             "sample indices only pair with the right GT "
+                             "chunk when this equals the fit's setting")
     parser.add_argument("--mano_root", default="extra_data/mano")
     parser.add_argument("--dump_codalab", action="store_true")
     parser.add_argument("--report", action="store_true")
@@ -74,7 +82,38 @@ def get_args(argv=None):
         args.results_root = args.root
     if args.results_root is None:
         parser.error("one of --results_root / --root is required")
+    _resolve_fit_options(args)
     return args
+
+
+def _resolve_fit_options(args):
+    """Match the eval dataset's chunk schedule to the fit run under eval.
+
+    collect_sequence_results pairs sample folder NN with dataset[NN], which
+    is only the chunk the fit actually saw when (frame_nb, chunk_step)
+    equal the fit's settings. The reference ships a silent desync (fit
+    default chunk_step=4, eval default 1, evalho3drecons.py:38 vs
+    fit_vid_dataset.py:46-48); here any flag the user left unset is filled
+    from the fit driver's recorded opts ({results_root}/results.pkl), and
+    an explicit mismatch warns loudly instead of mis-pairing GT silently.
+    """
+    import logging
+    recorded: Dict = {}
+    try:
+        with open(os.path.join(args.results_root, "results.pkl"), "rb") as f:
+            recorded = pickle.load(f).get("opts", {}) or {}
+    except Exception:
+        pass
+    for flag, ref_default in (("chunk_step", 1), ("frame_nb", 10)):
+        given = getattr(args, flag)
+        rec = recorded.get(flag)
+        if given is None:
+            setattr(args, flag, int(rec) if rec is not None else ref_default)
+        elif rec is not None and int(rec) != int(given):
+            logging.getLogger(__name__).warning(
+                "--%s %s does not match the fit run's recorded %s=%s "
+                "(results.pkl); sample indices will pair with DIFFERENT "
+                "chunks' ground truth", flag, given, flag, rec)
 
 
 def collect_sequence_results(results_root: str, dataset, mano_layer):

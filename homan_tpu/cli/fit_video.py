@@ -208,8 +208,15 @@ def _spawn_joint_prewarm(annots, args, mano_layer, image_size, loss_weights,
     rend_size, loss weights, iteration chunks), all known before stage B
     produces its values — so a dummy-valued run through the same
     build_joint_inputs + joint.prewarm path populates the executable cache
-    concurrently (XLA compiles overlap ~2x on the axon relay)."""
+    concurrently (XLA compiles overlap ~2x on the axon relay).
+
+    Honors HOMAN_TPU_DISABLE_PREWARM=1 (the same off-switch as
+    poseinit.prewarm_programs) and returns None when disabled."""
+    import os
     import threading
+
+    if os.environ.get("HOMAN_TPU_DISABLE_PREWARM") == "1":
+        return None
 
     def job():
         try:
@@ -390,12 +397,20 @@ def main(args):
             from homan_tpu.render.rasterizer import (RasterSettings,
                                                      check_edge_budget)
             from homan_tpu.viz.render_viz import _viz_device_ctx
+            # Fetch ONLY the object-pose leaves (a few KB): device_get of
+            # the whole consts pytree would pull every evidence mask off
+            # the device (tens of MB over the relay per sample).
+            rot_h, trans_h, scale_h, vog_h, faces_h, krois_h = \
+                jax.device_get((state.rotations_object,
+                                state.translations_object,
+                                state.int_scales_object,
+                                consts.verts_object_og,
+                                consts.faces_object,
+                                consts.camintr_rois_object))
             with timers.time("edge_budget_check"), _viz_device_ctx():
-                state_h = jax.device_get(state)
-                consts_h = jax.device_get(consts)
-                vo, _ = M2.get_verts_object_jit(state_h, consts_h)
-                budget = check_edge_budget(vo, consts_h.faces_object,
-                                           consts_h.camintr_rois_object,
+                vo, _ = M2.get_verts_object_parts_jit(rot_h, trans_h,
+                                                      scale_h, vog_h)
+                budget = check_edge_budget(vo, faces_h, krois_h,
                                            RasterSettings(
                                                image_size=args.rend_size))
             if budget["utilization"] > 0.8:

@@ -131,15 +131,21 @@ def init_state(cfg: HomanConfig,
     )
 
 
+def get_verts_object_parts(rot6d, trans, scale, verts_og):
+    """get_verts_object from its four leaves — lets host-side diagnostics
+    fetch only these arrays instead of device_get-ing whole pytrees (the
+    consts pytree carries every evidence mask: tens of MB per clip)."""
+    R = geo.rot6d_to_matrix(rot6d)
+    return cam.compute_transformation_persp(verts_og, trans, R,
+                                            jnp.abs(scale))
+
+
 def get_verts_object(state: HomanState, consts: HomanConsts):
     """(B, Vo, 3) posed object vertices (+ mesh-detached twin)."""
-    R = geo.rot6d_to_matrix(state.rotations_object)
-    return cam.compute_transformation_persp(
-        consts.verts_object_og,
-        state.translations_object,
-        R,
-        jnp.abs(state.int_scales_object),
-    )
+    return get_verts_object_parts(state.rotations_object,
+                                  state.translations_object,
+                                  state.int_scales_object,
+                                  consts.verts_object_og)
 
 
 def _mano_verts_all_sides(state: HomanState, consts: HomanConsts,
@@ -214,6 +220,7 @@ def get_joints_hand(state: HomanState, consts: HomanConsts, cfg: HomanConfig):
 # Jitted getters for host-side (eager) callers — per-op dispatch to a remote
 # accelerator is pathologically slow; cfg is static (frozen dataclass).
 get_verts_object_jit = jax.jit(get_verts_object)
+get_verts_object_parts_jit = jax.jit(get_verts_object_parts)
 get_verts_hand_jit = jax.jit(get_verts_hand, static_argnums=(2, 3))
 get_joints_hand_jit = jax.jit(get_joints_hand, static_argnums=(2,))
 

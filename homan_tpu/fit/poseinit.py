@@ -415,7 +415,8 @@ def prewarm_programs(vertices, faces, T: int,
                      refine_scale: float = 0.5,
                      candidate_chunk: int = 125,
                      lw_chamfer: float = 0.0,
-                     block: bool = True):
+                     block: bool = True,
+                     skip_main_thread_programs: bool = False):
     """Compile every program find_optimal_poses will run, on dummy values.
 
     Stage B traces 4-6 distinct programs (autodepth init at two candidate
@@ -432,6 +433,14 @@ def prewarm_programs(vertices, faces, T: int,
     have the same meaning. `block=False` returns the daemon thread.
     Set HOMAN_TPU_DISABLE_PREWARM=1 to turn prewarming off (local runtimes
     compile fast enough that the dummy executions are pure overhead).
+
+    `skip_main_thread_programs` omits the programs the caller's own thread
+    is about to compile anyway (the frame-0 full-count chain init, and the
+    coarse-halving pass — or, when pruning is off, the refinement pass):
+    JAX has no in-flight compile dedup, so prewarming those from
+    find_optimal_poses would run the SAME compile twice concurrently on
+    the relay. The CLI's evidence-prep prewarm keeps them (there they
+    overlap mask rendering, not an identical compile).
     """
     import os
     if os.environ.get("HOMAN_TPU_DISABLE_PREWARM") == "1":
@@ -501,17 +510,21 @@ def prewarm_programs(vertices, faces, T: int,
 
             # fused chain init (rotate + autodepth + rot6d) at the full
             # candidate count (frame 0)
-            spawn(lambda: run(lambda: _chain_init(vertices, eye, bbox, K)))
+            if not skip_main_thread_programs:
+                spawn(lambda: run(lambda: _chain_init(vertices, eye, bbox,
+                                                      K)))
             # fused best-motion selection over (T, C1)
             spawn(lambda: run(lambda: _select_best(
                 jnp.broadcast_to(eye[:C1][None], (T, C1, 3, 3)),
                 jnp.broadcast_to(trans0[:C1][None], (T, C1, 1, 3)),
                 jnp.zeros((T, C1), jnp.float32), vertices)))
             if C1 < C0:  # coarse halving program (frame 0 only)
-                spawn(lambda: run(lambda: _fit_candidates(
-                    vertices, topo, ref, keep, edt, K_roi, rot6d_id, trans0,
-                    refine_settings, num_iterations=coarse_iterations,
-                    lw_chamfer=0.0, candidate_chunk=candidate_chunk)))
+                if not skip_main_thread_programs:
+                    spawn(lambda: run(lambda: _fit_candidates(
+                        vertices, topo, ref, keep, edt, K_roi, rot6d_id,
+                        trans0, refine_settings,
+                        num_iterations=coarse_iterations,
+                        lw_chamfer=0.0, candidate_chunk=candidate_chunk)))
                 # chain init at the pruned count (frames 1..T-1)
                 spawn(lambda: run(lambda: _chain_init(
                     vertices, eye[:C1], bbox, K)))
@@ -521,24 +534,28 @@ def prewarm_programs(vertices, faces, T: int,
                 spawn(lambda: run(lambda: tco_init_from_boxes_autodepth(
                     bbox, rotated[:C1], K)))
                 n_rest = T - 1
+                # Shapes mirror the real call (find_optimal_poses' parallel
+                # branch): rot6d/trans are TILED to n_rest * C1 candidates.
                 spawn(lambda: run(lambda: _fit_candidates(
                     vertices, topo,
                     jnp.broadcast_to(ref[None], (n_rest * C1,) + ref.shape),
                     jnp.broadcast_to(keep[None], (n_rest * C1,) + keep.shape),
                     jnp.broadcast_to(edt[None], (n_rest * C1,) + edt.shape),
                     jnp.broadcast_to(K_roi[None], (n_rest * C1, 3, 3)),
-                    rot6d_id[:C1] if C1 < C0 else rot6d_id,
-                    trans0[:C1],
+                    jnp.tile(rot6d_id[:C1], (n_rest, 1, 1)),
+                    jnp.tile(trans0[:C1], (n_rest, 1, 1)),
                     refine_settings, num_iterations=num_iterations,
                     lw_chamfer=lw_chamfer,
                     candidate_chunk=min(3 * candidate_chunk, n_rest * C1))))
             # refinement program (every frame in chained mode; frame 0 in
-            # parallel mode)
-            spawn(lambda: run(lambda: _fit_candidates(
-                vertices, topo, ref, keep, edt, K_roi,
-                rot6d_id[:C1], trans0[:C1], refine_settings,
-                num_iterations=num_iterations, lw_chamfer=lw_chamfer,
-                candidate_chunk=candidate_chunk)))
+            # parallel mode). With no pruning it is the main thread's FIRST
+            # big program — skip it there (see skip_main_thread_programs).
+            if not (skip_main_thread_programs and C1 == C0):
+                spawn(lambda: run(lambda: _fit_candidates(
+                    vertices, topo, ref, keep, edt, K_roi,
+                    rot6d_id[:C1], trans0[:C1], refine_settings,
+                    num_iterations=num_iterations, lw_chamfer=lw_chamfer,
+                    candidate_chunk=candidate_chunk)))
             if need_rescore:
                 full_ref = jnp.zeros((settings.image_size,) * 2, jnp.float32)
                 TC = T * C1
@@ -641,7 +658,8 @@ def find_optimal_poses(
                      parallel_frames=parallel_frames,
                      refine_scale=refine_scale,
                      candidate_chunk=candidate_chunk,
-                     lw_chamfer=lw_chamfer, block=False)
+                     lw_chamfer=lw_chamfer, block=False,
+                     skip_main_thread_programs=True)
     if prune_to == "auto":
         prune_to = (max(num_initializations // 4, 16)
                     if num_initializations >= 64 else None)

@@ -95,14 +95,6 @@ def prepare_independent_fit_cached(annots: Dict, args, mano_layer,
         hand_bboxes=hand_bboxes, obj_bboxes=obj_bboxes, camintr=K_px,
         image_size=image_size, rend_size=rend_size, frame_keys=keys)
 
-    obj = annots["objects"][0]
-    obj_verts_can = np.asarray(obj["canverts3d"])
-    if obj_verts_can.ndim == 3:
-        obj_verts_can = obj_verts_can[0]
-    obj_faces = np.asarray(obj["faces"])
-    if obj_faces.ndim == 3:
-        obj_faces = obj_faces[0]
-
     object_parameters = poseinit.find_optimal_poses(
         obj_verts_can, obj_faces, obj_infos,
         [K_px[t] for t in range(T)], (image_size, image_size),

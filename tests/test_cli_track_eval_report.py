@@ -276,3 +276,34 @@ def test_codalab_joint_order_is_exact_inverse():
     reorder = np.asarray(JOINT_REORDER)
     np.testing.assert_array_equal(reorder[UNORDER_IDXS], np.arange(21))
     np.testing.assert_array_equal(UNORDER_IDXS[reorder], np.arange(21))
+
+
+def test_eval_resolves_chunk_schedule_from_fit_opts(tmp_path):
+    """eval_ho3d fills frame_nb/chunk_step from the fit run's recorded
+    opts (results.pkl) so dataset[int(sample_dir)] pairs with the chunk
+    the fit actually saw; explicit flags win (with a warning); reference
+    defaults apply when nothing is recorded (evalho3drecons.py:26,38)."""
+    import argparse
+    import pickle
+
+    from homan_tpu.cli.eval_ho3d import _resolve_fit_options
+
+    root = tmp_path / "res"
+    root.mkdir()
+    with open(root / "results.pkl", "wb") as f:
+        pickle.dump({"opts": {"chunk_step": 4, "frame_nb": 30}}, f)
+
+    ns = argparse.Namespace(results_root=str(root), chunk_step=None,
+                            frame_nb=None)
+    _resolve_fit_options(ns)
+    assert (ns.chunk_step, ns.frame_nb) == (4, 30)
+
+    ns2 = argparse.Namespace(results_root=str(root), chunk_step=2,
+                             frame_nb=None)
+    _resolve_fit_options(ns2)  # explicit flag kept, recorded fills the rest
+    assert (ns2.chunk_step, ns2.frame_nb) == (2, 30)
+
+    ns3 = argparse.Namespace(results_root=str(tmp_path), chunk_step=None,
+                             frame_nb=None)
+    _resolve_fit_options(ns3)  # nothing recorded -> reference defaults
+    assert (ns3.chunk_step, ns3.frame_nb) == (1, 10)

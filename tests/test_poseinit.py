@@ -296,7 +296,15 @@ def test_prewarm_programs_runs_and_dedups(monkeypatch):
     # Same shapes again: key dedup, returns without spawning the thread.
     assert poseinit.prewarm_programs(v, f, 2, block=False, **kwargs) is None
     assert len(poseinit._PREWARMED) == n_before + 1
+    # Parallel-frames branch with T > 2 (n_rest > 1): dummy shapes must
+    # mirror the real batched call (regression: rot6d/trans were passed
+    # un-tiled at C1 against n_rest*C1 evidence, so the prewarm thread
+    # raised and silently discarded its dedup key).
+    assert poseinit.prewarm_programs(v, f, 4, block=True,
+                                     parallel_frames=True, **kwargs) is None
+    # A failed prewarm discards its key; success leaves it recorded.
+    assert len(poseinit._PREWARMED) == n_before + 2
     # Disabled: no key is recorded.
     monkeypatch.setenv("HOMAN_TPU_DISABLE_PREWARM", "1")
     assert poseinit.prewarm_programs(v, f, 3, block=True, **kwargs) is None
-    assert len(poseinit._PREWARMED) == n_before + 1
+    assert len(poseinit._PREWARMED) == n_before + 2
