@@ -27,7 +27,9 @@ TF = 128   # faces per tile
 
 
 def _interpret() -> bool:
-    return jax.default_backend() == "cpu"
+    # Interpreter mode off-TPU (Mosaic lowering is cpu/gpu-unavailable).
+    from homan_tpu.render.pallas_shade import is_tpu_backend
+    return not is_tpu_backend()
 
 
 def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,

@@ -47,8 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from homan_tpu.render.pallas_shade import (_flatten_px, _interpret,
-                                           _pixel_grids, pix_shape)
+from homan_tpu.render.pallas_shade import _flatten_px, _interpret, pix_shape
 
 
 def _depth_fwd_kernel(pack_ref, depth_ref, amax_ref, *,

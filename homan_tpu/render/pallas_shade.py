@@ -40,9 +40,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def is_tpu_backend() -> bool:
+    """True on TPU-like backends (native 'tpu' or plugin platforms such as
+    the axon relay) where the Mosaic-TPU Pallas kernels can lower; False on
+    cpu/gpu, which take interpreter mode / the XLA fallback paths."""
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+
+
 def _interpret() -> bool:
-    # Interpreter mode on CPU so the kernel is testable without a TPU.
-    return jax.default_backend() == "cpu"
+    # Interpreter mode off-TPU so the kernel is testable without one
+    # (Mosaic TPU lowering is not available on cpu/gpu backends).
+    return not is_tpu_backend()
 
 
 def pix_shape(tile_px: int):
@@ -67,10 +75,9 @@ def _pixel_grids(tile_px: int):
     return ix.astype(jnp.float32), iy.astype(jnp.float32)
 
 
-def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, rx_ref,
-                      ry_ref, tc_ref, *,
+def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, *res_refs,
                       tile_px: int, image_size: int, g: int, sigma: float,
-                      cap2: float, ke: int):
+                      cap2: float, ke: int, want_residuals: bool = True):
     t = pl.program_id(1)
     gx = (t % g).astype(jnp.float32)
     gy = (t // g).astype(jnp.float32)
@@ -109,10 +116,11 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, rx_ref,
     # it becomes per-pixel elementwise math + a one-hot matmul (see
     # _shade_bwd_vjp).
     d2min = jnp.full(pix_shape(tile_px), cap2, jnp.float32)
-    amin = jnp.full(pix_shape(tile_px), -1, jnp.int32)
-    rxm = jnp.zeros(pix_shape(tile_px), jnp.float32)
-    rym = jnp.zeros(pix_shape(tile_px), jnp.float32)
-    tcm = jnp.zeros(pix_shape(tile_px), jnp.float32)
+    if want_residuals:  # 4 extra live carry arrays, only for grad callers
+        amin = jnp.full(pix_shape(tile_px), -1, jnp.int32)
+        rxm = jnp.zeros(pix_shape(tile_px), jnp.float32)
+        rym = jnp.zeros(pix_shape(tile_px), jnp.float32)
+        tcm = jnp.zeros(pix_shape(tile_px), jnp.float32)
     for k in range(ke):
         ax = seg[0, k]
         ay = seg[1, k]
@@ -133,17 +141,20 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, amin_ref, rx_ref,
         d2 = jnp.where(rel, d2, cap2)
         better = d2 < d2min
         d2min = jnp.where(better, d2, d2min)
-        amin = jnp.where(better, k, amin)
-        rxm = jnp.where(better, dx, rxm)
-        rym = jnp.where(better, dyp, rym)
-        tcm = jnp.where(better, tc, tcm)
+        if want_residuals:
+            amin = jnp.where(better, k, amin)
+            rxm = jnp.where(better, dx, rxm)
+            rym = jnp.where(better, dyp, rym)
+            tcm = jnp.where(better, tc, tcm)
 
     signed = jnp.where(covered, d2min, -d2min)
     sil_ref[0, 0] = jax.nn.sigmoid(signed / sigma)
-    amin_ref[0, 0] = amin
-    rx_ref[0, 0] = rxm
-    ry_ref[0, 0] = rym
-    tc_ref[0, 0] = tcm
+    if want_residuals:
+        amin_ref, rx_ref, ry_ref, tc_ref = res_refs
+        amin_ref[0, 0] = amin
+        rx_ref[0, 0] = rxm
+        ry_ref[0, 0] = rym
+        tc_ref[0, 0] = tcm
 
 
 def _flatten_px(x, tile_px: int):
@@ -169,19 +180,27 @@ def shade_tiles_pallas(seg_pack, anchors, static):
       anchors: (B, T, tp, tp) winding anchors.
       static: tuple (tile_px, image_size, g, sigma, cap2, ke) — hashable.
     """
-    sil, *_ = _shade_fwd(seg_pack, anchors, static)
-    return sil
+    # Primal (no-grad) call: forward-only renders (evidence masks, the
+    # stage-B full-res rescore, viz) skip the 4 residual carries + writes.
+    return _shade_fwd(seg_pack, anchors, static, want_residuals=False)[0]
 
 
-def _shade_fwd(seg_pack, anchors, static):
+def _shade_fwd(seg_pack, anchors, static, want_residuals: bool = True):
     tile_px, image_size, g, sigma, cap2, ke = static
     B, T = seg_pack.shape[:2]
     ps = pix_shape(tile_px)
     kern = partial(_shade_fwd_kernel, tile_px=tile_px, image_size=image_size,
-                   g=g, sigma=sigma, cap2=cap2, ke=ke)
+                   g=g, sigma=sigma, cap2=cap2, ke=ke,
+                   want_residuals=want_residuals)
     px_spec = pl.BlockSpec((1, 1) + ps, lambda b, t: (b, t, 0, 0),
                            memory_space=pltpu.VMEM)
-    sil, amin, rxs, rys, tcs = pl.pallas_call(
+    n_out = 5 if want_residuals else 1
+    out_shape = [jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
+                 jax.ShapeDtypeStruct((B, T) + ps, jnp.int32),
+                 jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
+                 jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
+                 jax.ShapeDtypeStruct((B, T) + ps, jnp.float32)][:n_out]
+    outs = pl.pallas_call(
         kern,
         grid=(B, T),
         in_specs=[
@@ -189,17 +208,15 @@ def _shade_fwd(seg_pack, anchors, static):
                          memory_space=pltpu.VMEM),
             px_spec,
         ],
-        out_specs=[px_spec] * 5,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
-            jax.ShapeDtypeStruct((B, T) + ps, jnp.int32),
-            jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
-            jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
-            jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
-        ],
+        out_specs=[px_spec] * n_out,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(seg_pack, _flatten_px(anchors, tile_px))
-    return _unflatten_px(sil, tile_px), amin, rxs, rys, tcs
+    sil = _unflatten_px(outs[0], tile_px)
+    if not want_residuals:
+        return (sil,)
+    _, amin, rxs, rys, tcs = outs
+    return sil, amin, rxs, rys, tcs
 
 
 def _shade_fwd_vjp(seg_pack, anchors, static):
@@ -235,7 +252,6 @@ def _shade_bwd_vjp(static, residuals, gcot):
     wb = -2.0 * base * tcs
     contrib = jnp.stack([wa * rxs, wa * rys, wb * rxs, wb * rys],
                         axis=-1)                        # (B, T, *ps, 4)
-    P = sil_f.shape[2] * (sil_f.shape[3] if sil_f.ndim == 4 else 1)
     contrib = contrib.reshape(B, T, -1, 4)
     onehot = (amin.reshape(B, T, -1, 1)
               == jnp.arange(ke, dtype=jnp.int32)).astype(jnp.float32)

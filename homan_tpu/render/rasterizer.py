@@ -179,12 +179,12 @@ def _tile_pixel_centers(image_size: int, tile_px: int) -> jnp.ndarray:
     return jnp.stack([xs[cols], ys[rows]], axis=-1)  # (T, P, 2) as (u, v)
 
 
-def _bin_boxes(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray,
-               s: RasterSettings, capacity: int, margin: float):
-    """Select up to `capacity` candidates per tile by bbox-tile overlap.
+def _tile_overlap(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray,
+                  s: RasterSettings, margin: float) -> jnp.ndarray:
+    """(T, N) bbox-tile overlap mask — the renderer's binning predicate.
 
-    lo, hi: (N, 2) candidate bboxes (normalized coords); valid: (N,).
-    Returns idx (T, C) candidate indices, hit (T, C) slot validity.
+    Shared by _bin_boxes (candidate selection) and check_edge_budget so the
+    diagnostic measures the EXACT binning the renderer performs.
     """
     S, tp = s.image_size, s.tile_px
     g = S // tp
@@ -194,11 +194,21 @@ def _bin_boxes(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray,
     t_xy = jnp.stack([t_idx % g, t_idx // g], axis=-1).astype(jnp.float32)
     t_lo = t_xy * tp / S
     t_hi = (t_xy + 1) * tp / S
-    overlap = (
+    return (
         (lo[None, :, 0] <= t_hi[:, None, 0]) & (hi[None, :, 0] >= t_lo[:, None, 0])
         & (lo[None, :, 1] <= t_hi[:, None, 1]) & (hi[None, :, 1] >= t_lo[:, None, 1])
         & valid[None, :]
     )  # (T, N)
+
+
+def _bin_boxes(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray,
+               s: RasterSettings, capacity: int, margin: float):
+    """Select up to `capacity` candidates per tile by bbox-tile overlap.
+
+    lo, hi: (N, 2) candidate bboxes (normalized coords); valid: (N,).
+    Returns idx (T, C) candidate indices, hit (T, C) slot validity.
+    """
+    overlap = _tile_overlap(lo, hi, valid, s, margin)
     c = min(capacity, lo.shape[0])
     score, idx = jax.lax.top_k(overlap.astype(jnp.float32), c)
     return idx, score > 0.5
@@ -266,7 +276,10 @@ def rasterize_soft(verts: jnp.ndarray,
     topo = as_topology(topology)
     use_pallas = settings.use_pallas
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+        # Pallas only where Mosaic-TPU lowering exists (tpu / tpu-like
+        # plugins); cpu AND gpu fall back to the equivalent XLA path.
+        from homan_tpu.render.pallas_shade import is_tpu_backend
+        use_pallas = is_tpu_backend()
     if use_pallas and not with_depth:
         return _rasterize_soft_pallas(verts, topo, K, settings)
     return _rasterize_soft(verts, topo, K, settings, with_depth)
@@ -275,7 +288,17 @@ def rasterize_soft(verts: jnp.ndarray,
 def _contour_data(uv, z, topo: MeshTopology, s: RasterSettings):
     """Shared per-frame contour extraction: oriented segments + flags.
 
-    Returns p0, p1 (E, 2), cross_sign (E,) (0 for non-contour), is_contour.
+    Contour edges of the CURRENT projection: adjacent faces have opposite
+    orientation (or the edge is a mesh boundary). Each edge is oriented
+    along its front face's traversal so oriented +x ray crossings sum to
+    the front-layer count (winding) at a pixel. Which face is "front" only
+    flips the global winding sign (coverage uses winding != 0), so orient
+    by f1's cycle and flip when f1 is back-facing (o1 > 0 is arbitrary but
+    consistent per mesh). Single source of truth for the XLA path, the
+    Pallas prep, and check_edge_budget — they must stay bit-identical.
+
+    Returns p0, p1 (E, 2), cross_sign (E,) (0 for non-contour), is_contour,
+    flip (winding jump across the directed edge), tri_uv, tri_z, f_valid.
     """
     tri_uv = uv[topo.faces]
     tri_z = z[topo.faces]
@@ -307,6 +330,7 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
 
     s = settings
     S, tp = s.image_size, s.tile_px
+    assert S % tp == 0, "image_size must be a multiple of tile_px"
     g = S // tp
     ke = min(s.edges_per_tile, topo.edges.shape[0])
     margin = s.bin_margin_px / S
@@ -377,34 +401,9 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
     def render_one(v, k):
         uv, z = project_ndc(v[None], k[None])
         uv, z = uv[0], z[0]
-        tri_uv = uv[topo.faces]  # (F, 3, 2)
-        tri_z = z[topo.faces]
-        area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
-        f_valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
-
-        # Contour edges of the CURRENT projection: adjacent faces have
-        # opposite orientation (or the edge is a mesh boundary). Orient each
-        # along its front face's traversal so oriented ray crossings sum to
-        # the front-layer count (winding) at a pixel.
-        front = jnp.where(f_valid, jnp.sign(area), 0.0)  # (F,)
-        front_pad = jnp.concatenate([front, jnp.zeros((1,), front.dtype)])
-        ef = topo.edge_faces  # (E, 2), -1 = none
-        o1 = front_pad[jnp.where(ef[:, 0] >= 0, ef[:, 0], front.shape[0])]
-        o2 = front_pad[jnp.where(ef[:, 1] >= 0, ef[:, 1], front.shape[0])]
-        e_z_ok = (z[topo.edges] > s.znear).all(-1)
-        any_adj_valid = (o1 != 0) | (o2 != 0)
-        is_contour = (o1 != o2) & e_z_ok & any_adj_valid
+        p0, p1, cross_sign, is_contour, flip, tri_uv, tri_z, f_valid = \
+            _contour_data(uv, z, topo, s)
         seg = uv[topo.edges]  # (E, 2, 2) endpoints (u, v)
-
-        # Oriented endpoints: traverse along the FRONT face's cycle. Which
-        # face is "front" only flips the global winding sign (covered uses
-        # winding != 0), so orient by f1's cycle and flip when f1 is back.
-        # (o1 > 0 choice of "front" is arbitrary but consistent per mesh.)
-        flip = jnp.where(topo.edge_dir_f1, 1.0, -1.0) * jnp.where(
-            o1 > 0, 1.0, -1.0)
-        # start/end y and x with orientation folded into a crossing sign.
-        p0 = seg[:, 0]
-        p1 = seg[:, 1]
 
         # ---- Stage A: per-(tile-column, pixel-row) winding anchors over ALL
         # contour edges: crossings of the +x ray at x = tile right boundary.
@@ -416,10 +415,8 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
         spans = (y0 <= py) != (y1 <= py)  # (S, E)
         t = (py - y0) / jnp.where(jnp.abs(y1 - y0) > 1e-12, y1 - y0, 1.0)
         x_int = p0[:, 0][None, :] + t * (p1[:, 0] - p0[:, 0])[None, :]  # (S, E)
-        cross_sign = (jnp.sign(y1 - y0) * flip[None, :]
-                      * is_contour[None, :])  # (S-broadcast, E)
         # anchors: (g, S) = sum over E of sign where x_int > x_right
-        contrib = jnp.where(spans, cross_sign, 0.0)  # (S, E)
+        contrib = jnp.where(spans, cross_sign[None, :], 0.0)  # (S, E)
         anchors = jnp.einsum(
             "se,gse->gs", contrib,
             (x_int[None] > x_right[:, None, None]).astype(jnp.float32))
@@ -439,8 +436,7 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
                 jnp.abs(q1[:, 1] - q0[:, 1])[None] > 1e-12,
                 (q1[:, 1] - q0[:, 1])[None], 1.0)
             xi = q0[:, 0][None] + tt * (q1[:, 0] - q0[:, 0])[None]
-            sgn = (jnp.sign(q1[:, 1] - q0[:, 1]) * flip[ei]
-                   * is_contour[ei] * eh)[None]
+            sgn = (cross_sign[ei] * eh)[None]
             local = jnp.where(
                 sp & (xi > px_[:, 0][:, None]) & (xi <= x1), sgn, 0.0)
             winding = anchor_col + local.sum(-1)  # (P,)
@@ -512,7 +508,10 @@ def rasterize_depth(verts: jnp.ndarray,
     topo = as_topology(topology)
     use_pallas = settings.use_pallas
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+        # Pallas only where Mosaic-TPU lowering exists (tpu / tpu-like
+        # plugins); cpu AND gpu fall back to the equivalent XLA path.
+        from homan_tpu.render.pallas_shade import is_tpu_backend
+        use_pallas = is_tpu_backend()
     if use_pallas:
         return _rasterize_depth_pallas(verts, topo, K, settings)
     return _rasterize_depth(verts, topo, K, settings)
@@ -642,6 +641,7 @@ def _rasterize_hard(verts, faces, K, face_colors, settings: RasterSettings,
                     specular, shininess):
     s = settings
     S, tp = s.image_size, s.tile_px
+    assert S % tp == 0, "image_size must be a multiple of tile_px"
     g = S // tp
     pix = _tile_pixel_centers(S, tp)
     if face_colors is None:
@@ -655,15 +655,17 @@ def _rasterize_hard(verts, faces, K, face_colors, settings: RasterSettings,
         tri_uv = uv[faces]
         tri_z = z[faces]
         tri_3d = v[faces]  # (F, 3, 3)
-        normals = jnp.cross(tri_3d[:, 1] - tri_3d[:, 0],
-                            tri_3d[:, 2] - tri_3d[:, 0])
-        normals = normals / jnp.maximum(
-            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+        raw_normals = jnp.cross(tri_3d[:, 1] - tri_3d[:, 0],
+                                tri_3d[:, 2] - tri_3d[:, 0])
+        normals = raw_normals / jnp.maximum(
+            jnp.linalg.norm(raw_normals, axis=-1, keepdims=True), 1e-9)
         shade = ambient + diffuse * jnp.abs(normals @ light)  # two-sided
-        # Area-weighted vertex normals for smooth (Phong) shading.
+        # Area-weighted vertex normals for smooth (Phong) shading: the raw
+        # cross product's magnitude (2x face area) IS the weight — the
+        # pytorch3d convention the eval renders are matched against.
         vnorm = jnp.zeros_like(v)
         for ci in range(3):
-            vnorm = vnorm.at[faces[:, ci]].add(normals)
+            vnorm = vnorm.at[faces[:, ci]].add(raw_normals)
         vnorm = vnorm / jnp.maximum(
             jnp.linalg.norm(vnorm, axis=-1, keepdims=True), 1e-9)
         area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
@@ -750,28 +752,17 @@ def check_edge_budget(verts, topology, K,
       dict: max_demand (max contour-edge candidates in any tile, over the
       batch), capacity, overflow (bool), utilization (max_demand/capacity).
     """
-    import numpy as np
     s = settings
     topo = as_topology(topology)
     margin = s.bin_margin_px / s.image_size
-    g = s.image_size // s.tile_px
 
     def demand_one(v, k):
         uv, z = project_ndc(v[None], k[None])
         uv, z = uv[0], z[0]
         _, _, _, is_contour, _, _, _, _ = _contour_data(uv, z, topo, s)
         seg = uv[topo.edges]
-        lo = seg.min(1) - margin
-        hi = seg.max(1) + margin
-        t_idx = jnp.arange(g * g)
-        t_xy = jnp.stack([t_idx % g, t_idx // g], -1).astype(jnp.float32)
-        t_lo = t_xy * s.tile_px / s.image_size
-        t_hi = (t_xy + 1) * s.tile_px / s.image_size
-        overlap = ((lo[None, :, 0] <= t_hi[:, None, 0])
-                   & (hi[None, :, 0] >= t_lo[:, None, 0])
-                   & (lo[None, :, 1] <= t_hi[:, None, 1])
-                   & (hi[None, :, 1] >= t_lo[:, None, 1])
-                   & is_contour[None, :])
+        overlap = _tile_overlap(seg.min(1), seg.max(1), is_contour, s,
+                                margin)
         return overlap.sum(axis=1).max()
 
     demand = int(np.asarray(
