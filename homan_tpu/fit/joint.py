@@ -71,6 +71,22 @@ def _run_phase(state, opt_state, consts, closed_hand_faces,
     return final_state, final_opt, history
 
 
+def _phase_chunks(iters: int, viz_step: int | None, with_viz: bool):
+    """Scan-chunk sizes _run_phase compiles for one phase.
+
+    The ONE chunk-derivation rule shared by prewarm and
+    optimize_hand_object — if they disagreed, prewarm would compile
+    programs the real call never uses (pure wasted relay compile) while
+    the real program cold-compiles at fit time.
+    """
+    if with_viz and viz_step and viz_step < iters:
+        chunks = [viz_step] * (iters // viz_step)
+        if iters % viz_step:
+            chunks.append(iters % viz_step)
+        return chunks
+    return [iters]
+
+
 def prewarm(state, consts, cfg, loss_weights=None, num_iterations: int = 400,
             lr: float = 1e-2, closed_hand_faces=None, roi_settings=None,
             viz_step: int | None = None):
@@ -99,12 +115,10 @@ def prewarm(state, consts, cfg, loss_weights=None, num_iterations: int = 400,
     else:
         closed = closed_hand_faces
         with_closed = True
-    if viz_step and viz_step < num_iterations:
-        chunk_sizes = {viz_step}
-        if num_iterations % viz_step:
-            chunk_sizes.add(num_iterations % viz_step)
-    else:
-        chunk_sizes = {num_iterations}
+    # Same chunk rule as optimize_hand_object (passing viz_step to prewarm
+    # asserts the real call will chunk by it, i.e. will set viz_callback).
+    chunk_sizes = set(_phase_chunks(num_iterations, viz_step,
+                                    with_viz=viz_step is not None))
     for chunk in sorted(chunk_sizes):
         out = _run_phase(state, opt_state, consts, closed, cfg, lw_items,
                          chunk, lr, roi_settings, with_closed)
@@ -164,12 +178,8 @@ def optimize_hand_object(
     histories = []
     done = 0
     for iters, settings in raster_schedule:
-        if viz_callback is not None and viz_step and viz_step < iters:
-            chunks = [viz_step] * (iters // viz_step)
-            if iters % viz_step:
-                chunks.append(iters % viz_step)
-        else:
-            chunks = [iters]
+        chunks = _phase_chunks(iters, viz_step,
+                               with_viz=viz_callback is not None)
         for chunk in chunks:
             state, opt_state, history = _run_phase(
                 state, opt_state, consts, closed, cfg, lw_items, chunk, lr,

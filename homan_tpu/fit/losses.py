@@ -379,10 +379,15 @@ def compute_all_losses(state: M.HomanState, consts: M.HomanConsts,
         if tritri:
             # BVH-branch equivalent (homan/lossutils.py:66-104): exact
             # triangle-intersection pairs, point-to-plane penetration.
+            # The object is detached — collision gradients only push the
+            # hand, never the silhouette-fitted object pose (the reference's
+            # verts_object.detach(), homan/homan.py:445-447; the sdf branch
+            # does the same via obj_det inside the terms function).
             from homan_tpu.interactions.intersect import (
                 compute_collision_loss_tritri)
             loss_dict["loss_collision"] = compute_collision_loss_tritri(
-                verts_hand_detscale, closed_hand_faces, verts_object,
+                verts_hand_detscale, closed_hand_faces,
+                jax.lax.stop_gradient(verts_object),
                 _faces_of(consts.faces_object), cfg.hand_nb)
         if lw["lw_contact"] > 0 or not tritri:
             loss_dict.update(compute_interaction_sdf_terms(

@@ -233,7 +233,11 @@ def optimizer_param_labels(cfg: HomanConfig) -> HomanState:
     scale_obj = "rigid" if cfg.optimize_object_scale else "frozen"
     scale_hand = "frozen" if cfg.optimize_mano_beta else "rigid"
     mano = "mano" if cfg.optimize_mano else "frozen"
-    betas = "mano" if (cfg.optimize_mano and cfg.optimize_mano_beta) else "frozen"
+    # Betas gate on optimize_mano_beta ALONE: the reference makes them a
+    # Parameter iff optimize_mano_beta (homan/homan.py:107-117) and the
+    # mano Adam group always lists them (jointopt.py:142-146), so betas
+    # refine even when the pca pose is frozen (optimize_mano=False).
+    betas = "mano" if cfg.optimize_mano_beta else "frozen"
     cams = ("rigid" if (cfg.hand_proj_mode == "ortho"
                         and cfg.optimize_ortho_cam) else "frozen")
     return HomanState(

@@ -371,18 +371,22 @@ def visualize_optimal_poses(vertices, faces, rotations, translations, losses,
                       (topo.faces.shape[0], 1))
     out = rasterize_hard(verts, topo, Kb, colors,
                          RasterSettings(image_size=rend_size))
-    fig = plt.figure(figsize=(10, 4))
-    ax = fig.add_subplot(2, 5, 1)
+    # Grid sized to the panel count (2 evidence panels + num_vis renders);
+    # the reference hardcodes 2x5, which caps it at num_vis=8.
+    n_panels = 2 + len(order)
+    n_cols = max(5, (n_panels + 1) // 2)
+    fig = plt.figure(figsize=(2 * n_cols, 4))
+    ax = fig.add_subplot(2, n_cols, 1)
     if image_crop is not None:
         ax.imshow(image_crop)
     ax.set_title("Cropped Image")
     ax.axis("off")
-    ax = fig.add_subplot(2, 5, 2)
+    ax = fig.add_subplot(2, n_cols, 2)
     ax.imshow(np.asarray(mask))
     ax.set_title("Mask")
     ax.axis("off")
     for i, idx in enumerate(order):
-        ax = fig.add_subplot(2, 5, i + 3)
+        ax = fig.add_subplot(2, n_cols, i + 3)
         frame = composite(np.asarray(out["rgb"][i]), np.asarray(out["sil"][i]),
                           image_crop)
         ax.imshow(frame)
@@ -625,7 +629,9 @@ def find_optimal_poses(
       vertices: (V, 3) canonical object vertices.
       faces: (F, 3) or MeshTopology.
       annotations: per frame dicts with target_crop_mask (R, R) in {-1, 0, 1},
-        bbox (4,) xywh pixels, and optionally full_mask.
+        bbox (4,) xywh pixels, square_bbox (x, y, side[, side]) — the crop
+        the target mask was cut with (frontend/evidence.py produces both) —
+        and optionally full_mask.
       Ks: per frame (3, 3) pixel intrinsics of the full image.
       image_size: (H, W, ...) of the full image.
       prune_to: "auto" (= max(C // 4, 16)), an int, or None (keep all

@@ -94,6 +94,10 @@ def voxelize_interior_sdf(verts: jnp.ndarray, faces: jnp.ndarray,
       convention, consistent with grid_sample_3d).
     """
     g = grid_size
+    chunk = min(chunk, g ** 3)
+    assert (g ** 3) % chunk == 0, (
+        f"grid_size^3 ({g}^3={g ** 3}) must be a multiple of the slab "
+        f"chunk ({chunk}) — pick a power-of-two grid_size")
     axis = -1.0 + (2.0 * jnp.arange(g) + 1.0) / g
     gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
     points = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # (G^3, 3)
@@ -246,9 +250,12 @@ def build_scene_sdfs(verts_list, faces_list, grid_size: int = 32,
     Returns dict {"centers": [(B,1,3)], "scales": [(B,1,1)],
                   "phis": [(B,G,G,G)]}.
     """
-    if jax.default_backend() != "cpu":
+    from homan_tpu.render.pallas_shade import is_tpu_backend
+    if is_tpu_backend():
         # Fused Pallas voxelizer on TPU (~10x the XLA slab formulation);
         # grids are stop-gradient so the forward-only kernel suffices.
+        # cpu AND gpu take the XLA path (Mosaic-TPU lowering is
+        # unavailable there; interpreter mode would crawl).
         from homan_tpu.interactions.pallas_sdf import (
             voxelize_interior_sdf_pallas as _voxelize)
     else:

@@ -330,8 +330,10 @@ void raster_phong(const float* verts, int nv, const int32_t* faces, int nf,
     fshade[f] = ambient + diffuse * std::fabs(fnorm[3 * f] * lx +
                                               fnorm[3 * f + 1] * ly +
                                               fnorm[3 * f + 2] * lz);
+    // Accumulate RAW cross products: |n| = 2x face area, so vertex
+    // normals are area-weighted (matches rasterize_hard / pytorch3d).
     for (int ci = 0; ci < 3; ci++)
-      for (int d = 0; d < 3; d++) vnorm[3 * id[ci] + d] += fnorm[3 * f + d];
+      for (int d = 0; d < 3; d++) vnorm[3 * id[ci] + d] += n[d];
   }
   for (int i = 0; i < nv; i++) {
     float nn = std::sqrt(vnorm[3 * i] * vnorm[3 * i] +

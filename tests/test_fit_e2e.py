@@ -150,3 +150,26 @@ def test_refinement_with_interaction_terms(scene):
     assert np.isfinite(np.asarray(history["loss"])).all()
     assert "loss_collision" in history and "loss_contact" in history
     assert float(history["loss"][-1]) < float(history["loss"][0])
+
+
+def test_betas_optimize_with_frozen_pca_pose(scene):
+    """Betas gate on optimize_mano_beta ALONE: the reference parameterizes
+    them iff optimize_mano_beta (homan/homan.py:107-117) and the mano Adam
+    group always lists them (jointopt.py:142-146), so optimize_mano=False +
+    optimize_mano_beta=True still refines shape."""
+    import dataclasses
+
+    from homan_tpu.fit import model as M
+
+    cfg = dataclasses.replace(scene.cfg, optimize_mano=False,
+                              optimize_mano_beta=True)
+    labels = M.optimizer_param_labels(cfg)
+    assert labels.mano_betas == "mano"
+    assert labels.mano_pca_pose == "frozen"
+    # And the coupled scale rule: betas optimized -> hand scale frozen.
+    assert labels.int_scales_hand == "frozen"
+    cfg2 = dataclasses.replace(scene.cfg, optimize_mano=False,
+                               optimize_mano_beta=False)
+    labels2 = M.optimizer_param_labels(cfg2)
+    assert labels2.mano_betas == "frozen"
+    assert labels2.int_scales_hand == "rigid"

@@ -76,3 +76,41 @@ def test_collision_tritri_in_joint_losses():
         num_iterations=3, closed_hand_faces=scene.closed_hand_faces,
         roi_settings=scene.roi_settings)
     assert np.isfinite(np.asarray(hist["loss"])).all()
+
+
+def test_tritri_collision_gradient_never_pushes_object():
+    """Collision gradients must only move the hand: the reference passes
+    verts_object.detach() into the collision term (homan/homan.py:445-447),
+    so with ONLY lw_collision active the object parameters' gradient is
+    exactly zero in tritri mode (the sdf branch already stop-gradients via
+    obj_det)."""
+    import jax
+
+    from homan_tpu.fit import losses as L
+    from homan_tpu.frontend.gtsynth import make_synthetic_scene
+
+    scene = make_synthetic_scene(seed=0, frame_nb=2, image_size=64,
+                                 rend_size=32)
+    lw = {k: 0.0 for k in L.DEFAULT_LW}
+    lw["lw_collision"] = 1.0
+
+    def collision_only(state, mode):
+        cfg = dataclasses.replace(scene.cfg, collision_mode=mode)
+        loss_dict, _ = L.compute_all_losses(
+            state, scene.consts, cfg, lw,
+            closed_hand_faces=scene.closed_hand_faces,
+            roi_settings=scene.roi_settings)
+        return L.weighted_sum(loss_dict, lw)
+
+    for mode in ("tritri", "sdf"):
+        grads = jax.grad(lambda s: collision_only(s, mode))(scene.init_state)
+        assert float(np.abs(np.asarray(
+            grads.translations_object)).max()) == 0.0, mode
+        assert float(np.abs(np.asarray(
+            grads.rotations_object)).max()) == 0.0, mode
+        assert float(np.abs(np.asarray(
+            grads.int_scales_object)).max()) == 0.0, mode
+        # ... while the hand translation DOES receive gradient signal
+        # whenever there is any penetration; at minimum the field exists
+        # and is finite.
+        assert np.isfinite(np.asarray(grads.translations_hand)).all(), mode
