@@ -31,14 +31,12 @@ def chunk_vid_index(vid_index, chunk_size: int = 10, chunk_step: int = 2,
         frame_nb = int(row[frame_nb_key])
         # Exact reference schedule (chunkvids.py:29-37): regular starts every
         # chunk_spacing, plus an end-of-video chunk whose LAST frame is
-        # frame_nb-1 (start = frame_nb - span + step - 1). Degenerate short
-        # videos (reference would emit negative frame ids) fall back to 0.
+        # frame_nb-1 (start = frame_nb - span + step - 1).
         starts = list(range(0, max(frame_nb - span, 0), chunk_spacing))
         end_start = frame_nb - span + chunk_step - 1
         if end_start >= 0 and end_start not in starts:
             starts.append(end_start)
-        if not starts:
-            starts = [0]
+        emitted = False
         for start in starts:
             idxs = [start + i * chunk_step for i in range(chunk_size)]
             if idxs[-1] >= frame_nb:
@@ -46,6 +44,23 @@ def chunk_vid_index(vid_index, chunk_size: int = 10, chunk_step: int = 2,
             chunk = dict(row)
             chunk["frame_idxs"] = idxs
             chunks.append(chunk)
+            emitted = True
+        if not emitted:
+            # Video shorter than the chunk span — the reference would emit
+            # NEGATIVE frame ids here (chunkvids.py:33). Cover it with the
+            # largest step that fits; skip (loudly) only when there are
+            # fewer than chunk_size frames.
+            if frame_nb >= chunk_size:
+                fit_step = max((frame_nb - 1) // max(chunk_size - 1, 1), 1)
+                chunk = dict(row)
+                chunk["frame_idxs"] = [i * fit_step
+                                       for i in range(chunk_size)]
+                chunks.append(chunk)
+            else:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "video with %d frames < chunk_size %d: no chunk emitted",
+                    frame_nb, chunk_size)
     return chunks
 
 

@@ -309,7 +309,15 @@ class HO3D:
         return img, cam, hand_info, obj_info
 
     def __getitem__(self, idx):
-        """Clip sample dict (ho3d.py:212-267 contract)."""
+        """Clip sample dict (ho3d.py:212-267 contract); in frame mode, a
+        single-frame obs dict (ho3d.py:212-223)."""
+        if self.mode == "frame":
+            row = self.frame_rows[idx]
+            img, camera, hand_info, obj_info = self.get_frame_info(
+                row["seq_idx"], row["frame_idx"], load_img=self.load_img)
+            return {"img": img, "hands": [hand_info],
+                    "objects": [obj_info], "camera": camera,
+                    "setup": self.setup}
         chunk = self.chunks[idx]
         seq = chunk["seq_idx"]
         frame_ids = chunk.get("frame_ids")

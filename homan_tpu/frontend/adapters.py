@@ -82,14 +82,21 @@ def convert_person_parameters(frame_params: Dict):
 def convert_pointrend_annotations(annotations: Sequence[Dict],
                                   hand_class: int = 0) -> List[Dict]:
     """PointRend per-box dicts (homan/pointrend.py:118-140) -> CachedEvidence
-    mask entries ({"full_mask", "score", "class_id"})."""
+    mask entries ({"full_mask", "score", "class_id"}).
+
+    Reference hand queries run with class_idx=0 (the COCO person class,
+    frameinfos.py:23-26) so hand annotations carry class_id == 0; object
+    queries use the most-likely class (frameinfos.py:161-165) so object
+    annotations carry that object's real COCO id. In CachedEvidence terms:
+    class_id == hand_class -> hand (0), anything else -> object (-1).
+    """
     out = []
     for a in annotations:
         class_id = int(_np(a["class_id"])) if "class_id" in a else hand_class
         out.append({
             "full_mask": _np(a["full_mask"]).astype(bool),
             "score": float(_np(a["score"])) if "score" in a else 1.0,
-            "class_id": -1 if class_id == -1 else hand_class,
+            "class_id": 0 if class_id == hand_class else -1,
         })
     return out
 
@@ -109,8 +116,8 @@ def record_cached_evidence(root: str, frame_key: str,
     estimates, hand_masks, _ = (convert_person_parameters(person_params)
                                 if person_params else ({}, {}, {}))
     masks: List[Dict] = [{"full_mask": np.asarray(m).astype(bool),
-                          "score": 1.0, "class_id": 0}
-                         for m in hand_masks.values()]
+                          "score": 1.0, "class_id": 0, "hand_side": side}
+                         for side, m in hand_masks.items()]
     if object_full_mask is not None:
         masks.append({"full_mask": np.asarray(object_full_mask).astype(bool),
                       "score": object_score, "class_id": -1})

@@ -78,11 +78,25 @@ def prepare_independent_fit_cached(annots: Dict, args, mano_layer,
     tight_obj = []
     for key in keys:
         obj_m = cache.masks_from_bboxes(key, None, [-1])
-        hand_m = cache.masks_from_bboxes(key, None, [0])
-        tight_obj.append(mask_to_bbox(obj_m[0]["full_mask"])
-                         if obj_m and "class_id" in obj_m[0] else None)
-        for s, m in zip(sides, hand_m if hand_m else []):
-            if "class_id" in m:
+        hand_m = cache.masks_from_bboxes(key, None, [0]) or []
+        # An empty detection mask (recorded detector miss) must NOT become
+        # a degenerate [0,0,1,1] tight box: keep the dataset box instead.
+        if (obj_m and "class_id" in obj_m[0]
+                and np.any(obj_m[0]["full_mask"])):
+            tight_obj.append(mask_to_bbox(obj_m[0]["full_mask"]))
+        else:
+            tight_obj.append(None)
+        # Pair masks to sides by identity when tagged (see
+        # evidence.get_frame_infos); positional zip only on a full set.
+        if hand_m and all("hand_side" in m for m in hand_m):
+            paired = [(m["hand_side"], m) for m in hand_m
+                      if m.get("hand_side") in tight_hand]
+        elif len(hand_m) == len(sides):
+            paired = list(zip(sides, hand_m))
+        else:
+            paired = []
+        for s, m in paired:
+            if "class_id" in m and np.any(m["full_mask"]):
                 tight_hand[s].append(mask_to_bbox(m["full_mask"]))
     if all(b is not None for b in tight_obj):
         obj_bboxes = np.stack(tight_obj)
@@ -116,22 +130,23 @@ def prepare_independent_fit_cached(annots: Dict, args, mano_layer,
     H = len(hand_sides)
 
     # Occlusion-aware hand targets + per-hand ROI intrinsics
-    # (homan/lib2d/maskutils.py:41-81 flow, per interleaved row)
+    # (homan/lib2d/maskutils.py:41-81 flow). ONE vectorized call over all
+    # T*H interleaved rows (row i = t*H + h), with per-row object masks and
+    # intrinsics — the per-row loop this replaces dispatched eager device
+    # ops T*H times (~seconds per sample on a relay-attached TPU; see
+    # gtevidence.py's identical pattern).
     if "masks" in person_parameters:
-        targets, K_rois = [], []
-        bboxes_xyxy = person_parameters["bboxes"]
-        for i in range(T * H):
-            t = i // H
-            single = mask_lib.add_target_hand_occlusions(
-                {"bboxes": bboxes_xyxy[i:i + 1],
-                 "masks": person_parameters["masks"][i:i + 1]},
-                {"full_mask": np.asarray(obj_infos[t]["full_mask"],
-                                         np.float32)},
-                K_px[t], rend_size=rend_size)
-            targets.append(single["target_masks"][0])
-            K_rois.append(single["K_roi"][0])
-        person_parameters["target_masks"] = np.stack(targets)
-        person_parameters["K_roi"] = np.stack(K_rois)
+        obj_full = np.stack([np.asarray(obj_infos[t]["full_mask"],
+                                        np.float32) for t in range(T)])
+        pp = {"bboxes": person_parameters["bboxes"],
+              "masks": person_parameters["masks"]}
+        batched = mask_lib.add_target_hand_occlusions(
+            pp, {"full_mask": np.repeat(obj_full, H, axis=0)},
+            np.repeat(np.asarray(K_px, np.float32), H, axis=0),
+            rend_size=rend_size)
+        person_parameters["target_masks"] = np.asarray(
+            batched["target_masks"])
+        person_parameters["K_roi"] = np.asarray(batched["K_roi"])
     person_parameters["hand_sides"] = hand_sides
 
     return {

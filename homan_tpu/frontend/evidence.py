@@ -65,10 +65,20 @@ class CachedEvidence:
     every query (legacy caches).
     """
     root: str
+    _memo: Dict = dataclasses.field(default_factory=dict, repr=False)
 
     def _load(self, frame_key: str) -> Dict:
-        with open(os.path.join(self.root, f"{frame_key}.pkl"), "rb") as f:
-            return pickle.load(f)
+        # Each frame record is queried ~5x per clip assembly (tight boxes:
+        # object + hand; get_frame_infos: regress + hand masks + object
+        # mask) — memoize the unpickle. Bounded FIFO: records carry
+        # full-resolution masks.
+        if frame_key not in self._memo:
+            if len(self._memo) >= 128:
+                self._memo.pop(next(iter(self._memo)))
+            with open(os.path.join(self.root, f"{frame_key}.pkl"),
+                      "rb") as f:
+                self._memo[frame_key] = pickle.load(f)
+        return self._memo[frame_key]
 
     def masks_from_bboxes(self, frame_key, boxes_xyxy, class_ids):
         masks = self._load(frame_key)["masks"]
@@ -140,7 +150,12 @@ def process_hand_estimates(estimates: Dict[str, Dict],
     RIGHT — the reference's fixed processing order (frameinfos.py:128-152).
     A per-frame bbox sort would make the interleaved hand layout unstable
     across frames whenever the hands cross."""
-    sides = [s for s in ("left_hand", "right_hand") if s in estimates]
+    # A side needs BOTH an estimate and a detection box: cached evidence may
+    # record more hands than the current clip tracks (e.g. an EPIC clip
+    # whose left-hand track is missing) — such sides are skipped, like the
+    # reference only processes hands with boxes (frameinfos.py:110-159).
+    sides = [s for s in ("left_hand", "right_hand")
+             if s in estimates and hand_bboxes.get(s) is not None]
     out = []
     for side in sides:
         est = dict(estimates[side])
@@ -248,8 +263,31 @@ def get_frame_infos(images: Sequence[np.ndarray],
              for b in present.values()]) if present else np.zeros((0, 4))
         hand_mask_dicts = mask_provider.masks_from_bboxes(
             handle, hand_boxes_xyxy, [0] * len(present)) if present else []
-        hand_masks = {s: m["full_mask"] for s, m in
-                      zip(present.keys(), hand_mask_dicts)}
+        # Pair masks to sides by identity when the provider tags them
+        # ("hand_side"); fall back to positional order ONLY when the counts
+        # match — a short list zipped positionally would silently hand the
+        # right hand's mask to the left side.
+        if hand_mask_dicts and all("hand_side" in m
+                                   for m in hand_mask_dicts):
+            hand_masks = {m["hand_side"]: m["full_mask"]
+                          for m in hand_mask_dicts
+                          if m["hand_side"] in present}
+        elif len(hand_mask_dicts) == len(present):
+            hand_masks = {s: m["full_mask"] for s, m in
+                          zip(present.keys(), hand_mask_dicts)}
+        else:
+            import logging
+            logging.getLogger(__name__).warning(
+                "frame %s: %d hand masks for %d tracked hands and no "
+                "hand_side tags — masks skipped for this frame",
+                key, len(hand_mask_dicts), len(present))
+            hand_masks = {}
+        # Keep per-frame mask shapes consistent for stacking: a side whose
+        # mask is missing this frame gets an all-zero (no-evidence) mask.
+        if hand_masks and len(hand_masks) < len(present):
+            shape = next(iter(hand_masks.values())).shape
+            for s in present:
+                hand_masks.setdefault(s, np.zeros(shape, bool))
 
         obj_mask_dicts = mask_provider.masks_from_bboxes(
             handle, np.asarray(obj_bboxes[i])[None], [-1])

@@ -44,9 +44,14 @@ def crop_and_resize(masks: np.ndarray, boxes_xyxy: np.ndarray,
         fy = ys - y0
 
         def take(yy, xx):
-            yy = np.clip(yy, 0, h - 1)
-            xx = np.clip(xx, 0, w - 1)
-            return masks[i][yy[:, None], xx[None, :]]
+            # Zero outside the image (detectron2 ROIAlign semantics) —
+            # border-clamping would replicate edge foreground across the
+            # out-of-image strip of a crop that extends past the frame.
+            inb = (((yy >= 0) & (yy < h))[:, None]
+                   & ((xx >= 0) & (xx < w))[None, :])
+            yc = np.clip(yy, 0, h - 1)
+            xc = np.clip(xx, 0, w - 1)
+            return masks[i][yc[:, None], xc[None, :]] * inb
 
         out[i] = ((1 - fy)[:, None] * ((1 - fx)[None] * take(y0, x0)
                                        + fx[None] * take(y0, x0 + 1))

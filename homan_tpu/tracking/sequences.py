@@ -52,5 +52,14 @@ def track_sequence(images: Sequence[np.ndarray],
             box = dets.get(k)
             if box is not None:
                 raw[k][t] = np.asarray(box, np.float64)
+    # An entity with ZERO detections in the whole clip would smooth to
+    # all-NaN boxes that poison every downstream crop silently — fail loudly
+    # instead (the reference's verify.check_setup would have rejected these
+    # frames one by one, homan/tracking/trackseq.py:38-59).
+    for k, v in raw.items():
+        if np.isnan(v).all():
+            raise ValueError(
+                f"track_sequence: entity '{k}' was never detected in the "
+                f"clip ({len(images)} frames) — cannot produce boxes")
     return {k: kalman.track_sequence_boxes(kalman.interpolate_missing(v))
             for k, v in raw.items()}

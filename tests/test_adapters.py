@@ -50,15 +50,24 @@ def test_convert_person_parameters_torch_two_hands():
 
 
 def test_convert_pointrend_annotations():
+    """Reference hand annotations carry class_id 0 (person, the class_idx=0
+    query at frameinfos.py:23-26); object annotations carry their real COCO
+    id (most-likely-class query, frameinfos.py:161-165). class 39 (bottle)
+    must convert to an OBJECT (-1) entry, not a hand."""
     from homan_tpu.frontend.adapters import convert_pointrend_annotations
     annots = [{"bbox": np.zeros(4), "class_id": 39,
                "full_mask": np.ones((32, 32)), "score": 0.97,
                "square_bbox": np.zeros(4), "crop_mask": np.ones((8, 8))},
               {"bbox": np.zeros(4), "class_id": -1,
                "full_mask": np.zeros((32, 32)), "score": 0.88,
-               "square_bbox": np.zeros(4), "crop_mask": np.zeros((8, 8))}]
+               "square_bbox": np.zeros(4), "crop_mask": np.zeros((8, 8))},
+              {"bbox": np.zeros(4), "class_id": 0,
+               "full_mask": np.ones((32, 32)), "score": 0.5,
+               "square_bbox": np.zeros(4), "crop_mask": np.ones((8, 8))}]
     out = convert_pointrend_annotations(annots)
-    assert out[0]["class_id"] == 0 and out[1]["class_id"] == -1
+    assert out[0]["class_id"] == -1  # bottle -> object
+    assert out[1]["class_id"] == -1  # already-object sentinel preserved
+    assert out[2]["class_id"] == 0   # person -> hand
     assert out[0]["full_mask"].dtype == bool
     assert out[1]["score"] == pytest.approx(0.88)
 

@@ -303,3 +303,18 @@ def test_epic_tar_frame_reader(tmp_path):
     assert img3.shape == (6, 8, 3) and img4.shape == (6, 8, 3)
     assert abs(int(img3[0, 0, 0]) - 3) <= 2  # JPEG tolerance
     assert abs(int(img4[0, 0, 0]) - 4) <= 2
+
+
+def test_ho3d_frame_mode(ho3d_tree, tmp_path):
+    """mode='frame' returns the reference's per-frame obs dict
+    (ho3d.py:212-223) — it previously crashed on self.chunks=None."""
+    ds, _ = get_dataset(
+        "ho3d", split="val", mode="frame",
+        root=ho3d_tree, ycb_root=os.path.join(ho3d_tree, "ycbmodels"),
+        mano_layer=ManoLayer.synthetic(0),
+        cache_folder=str(tmp_path / "cache_frame"), load_img=False)
+    assert len(ds) > 0
+    obs = ds[0]
+    assert set(obs) == {"img", "hands", "objects", "camera", "setup"}
+    assert obs["hands"][0]["verts3d"].shape == (778, 3)
+    assert obs["camera"]["K"].shape == (3, 3)

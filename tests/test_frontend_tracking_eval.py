@@ -181,3 +181,33 @@ def test_interpolate_sequence():
     vals = np.stack([np.zeros((2, 3)), np.ones((2, 3)) * 10])
     out = pm.interpolate_sequence(frames, vals, [0, 5, 10])
     np.testing.assert_allclose(out[1], np.full((2, 3), 5.0))
+
+
+def test_crop_and_resize_zero_pads_outside_image():
+    """Out-of-image samples contribute ZERO (detectron2 ROIAlign
+    semantics) — border-clamping would replicate edge foreground across
+    the out-of-image strip of a crop past the frame."""
+    m = np.zeros((1, 16, 16), np.float32)
+    m[0, :, 12:] = 1.0  # foreground touching the right edge
+    # Crop extends 16px past the right image border.
+    out = mask_lib.crop_and_resize(m, np.array([[8, 0, 32, 16]]), 24)
+    # Left part of the crop sees the in-image foreground...
+    assert out[0][:, :6].max() > 0.5
+    # ...but the out-of-image right strip must be ~zero, not replicated fg.
+    assert out[0][:, -8:].max() < 0.25
+
+
+def test_chunk_vid_index_short_video_fallback():
+    """Videos shorter than chunk_size*chunk_step still yield one fitted
+    chunk (the reference would emit negative frame ids here,
+    chunkvids.py:33); only sub-chunk_size videos are skipped."""
+    rows = [{"seq_idx": "short", "frame_nb": 12}]
+    chunks = chunk_vid_index(rows, chunk_size=10, chunk_step=4,
+                             chunk_spacing=200)
+    assert len(chunks) == 1
+    idxs = chunks[0]["frame_idxs"]
+    assert len(idxs) == 10 and idxs[0] == 0 and idxs[-1] < 12
+    assert sorted(set(idxs)) == idxs  # strictly increasing, no repeats
+    # Fewer frames than chunk_size: skipped (with a warning), not crashed.
+    assert chunk_vid_index([{"seq_idx": "tiny", "frame_nb": 4}],
+                           chunk_size=10, chunk_step=4) == []
