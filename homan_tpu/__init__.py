@@ -43,6 +43,14 @@ def enable_jit_cache(path: str | None = None):
     env = os.environ.get("HOMAN_TPU_JIT_CACHE")
     if env == "0":
         return None
+    # CPU runs (tests, the multichip dryrun child) gain nothing from the
+    # cache — their compiles are fast — and XLA:CPU cache entries are AOT
+    # machine code keyed without the host's CPU features, so entries written
+    # on one x86 host can be loaded on another and SIGILL (observed: the
+    # driver machine writes avx512/amx code the local host lacks). Only
+    # enable the cache when an accelerator platform is (or may be) in play.
+    if env is None and os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return None
     if path is None:
         path = env or os.path.join(
             os.path.expanduser("~"), ".cache", "homan_tpu", "jax")
