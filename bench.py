@@ -210,6 +210,42 @@ def bench_depth(frames: int, iters: int, rend: int, subdiv: int):
     return elapsed, compile_s
 
 
+def bench_config3(frames: int, iters: int, rend: int, subdiv: int,
+                  sdf_mode: str):
+    """Joint fit with collision + contact on (the reference step-2 recipe,
+    README.md:228-238: --lw_collision 0.001 --lw_contact 1). sdf_mode
+    'direct' is the exact grid-free default; 'grid' voxelizes per iteration
+    like the reference's SDFSceneLoss (scenesdf.py:119-121)."""
+    import dataclasses
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.frontend.gtsynth import make_synthetic_scene
+    from homan_tpu.fit import joint
+    from homan_tpu.fit import losses as L
+    from homan_tpu.render import RasterSettings
+
+    scene = make_synthetic_scene(
+        seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
+        rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0))
+    cfg = dataclasses.replace(scene.cfg, sdf_mode=sdf_mode)
+    lw = dict(L.DEFAULT_LW)
+    lw["lw_collision"] = 1e-3
+    lw["lw_contact"] = 1.0
+    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=48)
+
+    def run():
+        final, _ = joint.optimize_hand_object(
+            scene.init_state, scene.consts, cfg, loss_weights=lw,
+            num_iterations=iters,
+            closed_hand_faces=scene.closed_hand_faces,
+            roi_settings=settings)
+        return final
+
+    elapsed, compile_s, _ = _timed(run)
+    return elapsed, compile_s
+
+
 def bench_pipeline(frames: int, inits: int, obj_iters: int, joint_iters: int,
                    rend: int, subdiv: int):
     """Stages A+B+C end to end for one clip (GT-mask evidence path)."""
@@ -284,6 +320,13 @@ def main():
     depth_iters = 100 if args.preset == "full" else 5
     dp, dp_c = bench_depth(extras_cfg["frames"], depth_iters,
                            extras_cfg["rend"], extras_cfg["subdiv"])
+    c3_iters = 400 if args.preset == "full" else 5
+    c3d, c3d_c = bench_config3(extras_cfg["frames"], c3_iters,
+                               extras_cfg["rend"], extras_cfg["subdiv"],
+                               sdf_mode="direct")
+    c3g, c3g_c = bench_config3(extras_cfg["frames"], c3_iters,
+                               extras_cfg["rend"], extras_cfg["subdiv"],
+                               sdf_mode="grid")
 
     ec = extras_cfg
     result = {
@@ -298,11 +341,15 @@ def main():
             f"pipeline_{ec['frames']}f_s": round(pl, 3),
             f"multiclip_{n_clips}x{ec['frames']}f_s": round(mc, 3),
             f"depth_{ec['frames']}f_{depth_iters}it_s": round(dp, 3),
+            f"config3_direct_{ec['frames']}f_{c3_iters}it_s": round(c3d, 3),
+            f"config3_grid_{ec['frames']}f_{c3_iters}it_s": round(c3g, 3),
             "compile_s": {"joint": round(compile_s, 1),
                           "stageb": round(sb_c, 1),
                           "pipeline": round(pl_c, 1),
                           "multiclip": round(mc_c, 1),
-                          "depth": round(dp_c, 1)},
+                          "depth": round(dp_c, 1),
+                          "config3_direct": round(c3d_c, 1),
+                          "config3_grid": round(c3g_c, 1)},
         },
     }
     print(json.dumps(result))
