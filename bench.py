@@ -292,6 +292,16 @@ def main():
     ap.add_argument("--rend", type=int, default=None)
     args = ap.parse_args()
 
+    # Persistent-cache evidence (VERDICT r2 #3): record whether this process
+    # started with a warm on-disk XLA cache and how many entries it added —
+    # "entries_before > 0, few added" reads as a warm second process.
+    import glob
+    import os
+    import homan_tpu
+    cache_dir = getattr(homan_tpu, "_JIT_CACHE_DIR", None)
+    cache_before = (len(glob.glob(os.path.join(cache_dir, "*")))
+                    if cache_dir and os.path.isdir(cache_dir) else 0)
+
     if args.preset == "full":
         frames = args.frames or 30
         iters = args.iters or 400
@@ -309,24 +319,37 @@ def main():
         extras_cfg = dict(frames=2, inits=24, obj_iters=5, rend=rend,
                           subdiv=subdiv)
 
+    def soft(fn, *a, n_out=2, **kw):
+        """One failing extra workload must not kill the whole bench record."""
+        try:
+            return fn(*a, **kw)
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            import sys
+            import traceback
+            traceback.print_exc()
+            print(f"bench workload {fn.__name__} failed: {exc}",
+                  file=sys.stderr)
+            return (float("nan"),) * n_out
+
     elapsed, compile_s = bench_joint(frames, iters, rend, subdiv)
-    sb, sb_c, sb_iou = bench_stageb(**extras_cfg)
-    pl, pl_c = bench_pipeline(joint_iters=201 if args.preset == "full" else 5,
-                              **extras_cfg)
+    sb, sb_c, sb_iou = soft(bench_stageb, n_out=3, **extras_cfg)
+    pl, pl_c = soft(bench_pipeline,
+                    joint_iters=201 if args.preset == "full" else 5,
+                    **extras_cfg)
     n_clips = 4 if args.preset == "full" else 2
-    mc, mc_c = bench_multiclip(n_clips, extras_cfg["frames"],
-                               iters if args.preset == "full" else 5,
-                               extras_cfg["rend"], extras_cfg["subdiv"])
+    mc, mc_c = soft(bench_multiclip, n_clips, extras_cfg["frames"],
+                    iters if args.preset == "full" else 5,
+                    extras_cfg["rend"], extras_cfg["subdiv"])
     depth_iters = 100 if args.preset == "full" else 5
-    dp, dp_c = bench_depth(extras_cfg["frames"], depth_iters,
-                           extras_cfg["rend"], extras_cfg["subdiv"])
+    dp, dp_c = soft(bench_depth, extras_cfg["frames"], depth_iters,
+                    extras_cfg["rend"], extras_cfg["subdiv"])
     c3_iters = 400 if args.preset == "full" else 5
-    c3d, c3d_c = bench_config3(extras_cfg["frames"], c3_iters,
-                               extras_cfg["rend"], extras_cfg["subdiv"],
-                               sdf_mode="direct")
-    c3g, c3g_c = bench_config3(extras_cfg["frames"], c3_iters,
-                               extras_cfg["rend"], extras_cfg["subdiv"],
-                               sdf_mode="grid")
+    c3d, c3d_c = soft(bench_config3, extras_cfg["frames"], c3_iters,
+                      extras_cfg["rend"], extras_cfg["subdiv"],
+                      sdf_mode="direct")
+    c3g, c3g_c = soft(bench_config3, extras_cfg["frames"], c3_iters,
+                      extras_cfg["rend"], extras_cfg["subdiv"],
+                      sdf_mode="grid")
 
     ec = extras_cfg
     result = {
@@ -343,6 +366,14 @@ def main():
             f"depth_{ec['frames']}f_{depth_iters}it_s": round(dp, 3),
             f"config3_direct_{ec['frames']}f_{c3_iters}it_s": round(c3d, 3),
             f"config3_grid_{ec['frames']}f_{c3_iters}it_s": round(c3g, 3),
+            "jit_cache": {
+                "enabled": bool(cache_dir),
+                "entries_before": cache_before,
+                "entries_added": (len(glob.glob(os.path.join(cache_dir, "*")))
+                                  - cache_before
+                                  if cache_dir and os.path.isdir(cache_dir)
+                                  else 0),
+            },
             "compile_s": {"joint": round(compile_s, 1),
                           "stageb": round(sb_c, 1),
                           "pipeline": round(pl_c, 1),
@@ -352,7 +383,15 @@ def main():
                           "config3_grid": round(c3g_c, 1)},
         },
     }
-    print(json.dumps(result))
+    def denan(x):
+        """Failed extras serialize as null, not the invalid-JSON NaN token."""
+        if isinstance(x, dict):
+            return {k: denan(v) for k, v in x.items()}
+        if isinstance(x, float) and x != x:
+            return None
+        return x
+
+    print(json.dumps(denan(result)))
     return result
 
 
