@@ -203,8 +203,19 @@ def interior_sdf_at_points(query: jnp.ndarray, verts: jnp.ndarray,
         tri = v[faces]  # (F, 3, 3)
         a, b, c = tri[None, :, 0], tri[None, :, 1], tri[None, :, 2]
         p = q[:, None, :]
-        d2 = _point_triangle_dist2(p, a, b, c).min(-1)
-        inside = _ray_z_crossings(jax.lax.stop_gradient(p), a, b, c)
+        pd = jax.lax.stop_gradient(p)
+        # Dense (N, F) sweep under stop_gradient: only the argmin face and
+        # the inside bit survive it. The distance is then recomputed
+        # differentiably on that single face per query — same value (same
+        # arithmetic on the winning face), same gradient (the argmin is
+        # locally constant, so d phi/d q through the dense min equals the
+        # single-face derivative) — and the O(N*F) backward pass vanishes.
+        d2_all = _point_triangle_dist2(pd, a, b, c)  # (N, F), no grad
+        idx = jnp.argmin(d2_all, axis=-1)  # (N,)
+        inside = _ray_z_crossings(pd, a, b, c)
+        tb = tri[idx]  # (N, 3, 3)
+        d2 = _point_triangle_dist2(p, tb[:, None, 0], tb[:, None, 1],
+                                   tb[:, None, 2])[:, 0]  # (N,)
         return jnp.where(inside, jnp.sqrt(jnp.maximum(d2, 1e-20)), 0.0)
 
     return jax.vmap(one)(query, verts)

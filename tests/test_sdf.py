@@ -216,6 +216,46 @@ def test_interior_sdf_gradient_is_unit_direction():
     np.testing.assert_allclose(g, -q / np.linalg.norm(q), atol=0.03)
 
 
+def test_interior_sdf_argmin_gather_equals_dense():
+    """The argmin-gather form (dense sweep under stop_gradient + one
+    differentiable face per query) must reproduce the dense min exactly in
+    value and to fp tolerance in gradient — the backward shortcut must not
+    change semantics."""
+    from homan_tpu.interactions.sdf import (interior_sdf_at_points,
+                                            _point_triangle_dist2,
+                                            _ray_z_crossings)
+
+    @jax.jit
+    def dense_direct(query, verts, faces):
+        verts = jax.lax.stop_gradient(verts)
+
+        def one(q, v):
+            tri = v[faces]
+            a, b, c = tri[None, :, 0], tri[None, :, 1], tri[None, :, 2]
+            p = q[:, None, :]
+            d2 = _point_triangle_dist2(p, a, b, c).min(-1)
+            inside = _ray_z_crossings(jax.lax.stop_gradient(p), a, b, c)
+            return jnp.where(inside, jnp.sqrt(jnp.maximum(d2, 1e-20)), 0.0)
+
+        return jax.vmap(one)(query, verts)
+
+    v, f = icosphere(2, 0.5)
+    rng = np.random.RandomState(1)
+    verts = jnp.asarray(v[None] + 0.02 * rng.randn(2, v.shape[0], 3),
+                        jnp.float32)
+    faces = jnp.asarray(f)
+    query = jnp.asarray(rng.uniform(-0.7, 0.7, (2, 128, 3)), jnp.float32)
+
+    phi_dense = dense_direct(query, verts, faces)
+    phi = interior_sdf_at_points(query, verts, faces)
+    assert bool(jnp.all(phi_dense == phi))  # same face -> same arithmetic
+
+    g_dense = jax.grad(lambda q: dense_direct(q, verts, faces).sum())(query)
+    g = jax.grad(
+        lambda q: interior_sdf_at_points(q, verts, faces).sum())(query)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_dense), atol=1e-6)
+
+
 def test_sdf_direct_matches_grid_loss_shape():
     """Direct scene loss agrees with the grid version within grid resolution
     and produces the same dist_values structure."""
