@@ -30,6 +30,11 @@ import json
 import time
 
 
+def _tile_for(rend):
+    """Largest raster tile that divides the render size (bench presets)."""
+    return 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+
+
 def _timed(fn):
     import jax
     t0 = time.perf_counter()
@@ -52,7 +57,7 @@ def bench_joint(frames: int, iters: int, rend: int, subdiv: int):
     scene = make_synthetic_scene(
         seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
         rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0))
-    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    tile = _tile_for(rend)
     settings = RasterSettings(image_size=rend, tile_px=tile,
                               edges_per_tile=48)
 
@@ -124,7 +129,7 @@ def bench_stageb(frames: int, inits: int, obj_iters: int, rend: int,
                                       None, rend)
         info["full_mask"] = masks[t].astype(np.float32)
         annotations.append(info)
-    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    tile = _tile_for(rend)
     # ke=64, not 48: the half-res refinement renders the whole 128^2 image
     # as ONE 128px tile, so every contour edge competes for the same slots
     # (ke=48 measurably drops IoU .979 -> .968).
@@ -168,7 +173,7 @@ def bench_multiclip(n_clips: int, frames: int, iters: int, rend: int,
               for i in range(n_clips)]
     states = par.stack_clips([s.init_state for s in scenes])
     consts = par.stack_clips([s.consts for s in scenes])
-    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    tile = _tile_for(rend)
     settings = RasterSettings(image_size=rend, tile_px=tile,
                               edges_per_tile=48)
 
@@ -195,7 +200,7 @@ def bench_depth(frames: int, iters: int, rend: int, subdiv: int):
         seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
         rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0),
         with_full_masks=True)
-    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    tile = _tile_for(rend)
     settings = RasterSettings(image_size=rend, tile_px=tile,
                               edges_per_tile=48)
 
@@ -220,17 +225,15 @@ def bench_config3(frames: int, iters: int, rend: int, subdiv: int,
     from homan_tpu.core.meshes import bumpy_potato
     from homan_tpu.frontend.gtsynth import make_synthetic_scene
     from homan_tpu.fit import joint
-    from homan_tpu.fit import losses as L
     from homan_tpu.render import RasterSettings
 
     scene = make_synthetic_scene(
         seed=0, frame_nb=frames, image_size=max(2 * rend, 128),
         rend_size=rend, obj_mesh=bumpy_potato(subdiv, 0.08, seed=0))
     cfg = dataclasses.replace(scene.cfg, sdf_mode=sdf_mode)
-    lw = dict(L.DEFAULT_LW)
-    lw["lw_collision"] = 1e-3
-    lw["lw_contact"] = 1.0
-    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    # optimize_hand_object merges these onto DEFAULT_LW itself
+    lw = {"lw_collision": 1e-3, "lw_contact": 1.0}
+    tile = _tile_for(rend)
     settings = RasterSettings(image_size=rend, tile_px=tile,
                               edges_per_tile=48)
 
@@ -261,7 +264,7 @@ def bench_pipeline(frames: int, inits: int, obj_iters: int, joint_iters: int,
     args = ap.Namespace(num_initializations=inits,
                         num_obj_iterations=obj_iters, seed=0,
                         stageb_parallel_frames=0)
-    tile = 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
+    tile = _tile_for(rend)
     settings = RasterSettings(image_size=rend, tile_px=tile,
                               edges_per_tile=64)
 

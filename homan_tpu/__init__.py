@@ -31,6 +31,23 @@ Layer map:
 __version__ = "0.1.0"
 
 
+def _host_fingerprint() -> str:
+    """Short stable id of (hostname, CPU feature set) for cache scoping."""
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        flags = platform.machine()
+    return hashlib.sha1(
+        (platform.node() + "|" + flags).encode()).hexdigest()[:12]
+
+
 def enable_jit_cache(path: str | None = None):
     """Point JAX at a persistent compilation cache.
 
@@ -44,16 +61,25 @@ def enable_jit_cache(path: str | None = None):
     if env == "0":
         return None
     # CPU runs (tests, the multichip dryrun child) gain nothing from the
-    # cache — their compiles are fast — and XLA:CPU cache entries are AOT
-    # machine code keyed without the host's CPU features, so entries written
-    # on one x86 host can be loaded on another and SIGILL (observed: the
-    # driver machine writes avx512/amx code the local host lacks). Only
-    # enable the cache when an accelerator platform is (or may be) in play.
-    if env is None and os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # cache — their compiles are fast. Skip it when CPU is requested through
+    # either env spelling (jax.config-level overrides made after this import
+    # are covered by the host-scoped path below).
+    if env is None and any(
+            os.environ.get(var, "").strip().lower().split(",")[0] == "cpu"
+            for var in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME")):
         return None
     if path is None:
+        # XLA:CPU cache entries are AOT machine code keyed WITHOUT the
+        # host's CPU features: an entry written on one x86 host can be
+        # loaded on another and SIGILL (observed: a driver machine wrote
+        # avx512/amx code the local host lacks, through a shared $HOME).
+        # Scoping the directory by a host fingerprint makes foreign loads
+        # impossible for every backend-selection path — env vars, late
+        # jax.config.update("jax_platforms", ...), or default fallback —
+        # while keeping the same-machine cross-process wins.
         path = env or os.path.join(
-            os.path.expanduser("~"), ".cache", "homan_tpu", "jax")
+            os.path.expanduser("~"), ".cache", "homan_tpu", "jax",
+            _host_fingerprint())
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", path)
