@@ -40,7 +40,11 @@ def batch_pairwise_dist2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """
     xx = jnp.einsum("bnd,bnd->bn", x, x)
     yy = jnp.einsum("bmd,bmd->bm", y, y)
-    xy = jnp.einsum("bnd,bmd->bnm", x, y)
+    # f32 accumulation: the TPU MXU's default single-pass bf16 (~0.5% rel
+    # error) can flip the argmin / contact-threshold selections downstream;
+    # the reference computes these distances in full f32.
+    xy = jnp.einsum("bnd,bmd->bnm", x, y,
+                    precision=jax.lax.Precision.HIGHEST)
     return xx[:, :, None] + yy[:, None, :] - 2.0 * xy
 
 
