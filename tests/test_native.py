@@ -115,3 +115,27 @@ def test_render_scene_uses_native_path():
     # uint8 frames: allow off-by-one from float rounding
     diff = np.abs(frames_native[0].astype(int) - frames_xla[0].astype(int))
     assert diff.max() <= 1
+
+
+def test_process_meshes_cli(tmp_path):
+    """The batch preprocessing driver (shapemeshprocess.py equivalent) runs
+    end to end: mesh list in, decimated OBJs out."""
+    from homan_tpu.cli import process_meshes
+    from homan_tpu.core.meshes import load_obj
+
+    v, f = bumpy_potato(3, 1.0, seed=0)  # 1280 faces
+    src = tmp_path / "potato.obj"
+    save_obj(str(src), v, f)
+    mesh_list = tmp_path / "meshes.txt"
+    mesh_list.write_text(f"{src}\n")
+    out_root = tmp_path / "processed"
+
+    process_meshes.main(["--mesh_list", str(mesh_list),
+                         "--out_root", str(out_root),
+                         "--target_faces", "300"])
+
+    out = out_root / "potato_300.obj"
+    assert out.exists()
+    v2, f2 = load_obj(str(out))
+    assert 150 < f2.shape[0] <= 320
+    assert f2.min() >= 0 and f2.max() < v2.shape[0]
