@@ -35,16 +35,25 @@ def _tile_for(rend):
     return 128 if rend % 128 == 0 else (64 if rend % 64 == 0 else 32)
 
 
+_STEADY_REPEATS = 1  # set per preset in main(); min-of-k steady timing
+
+
 def _timed(fn):
+    """(steady_s, compile_and_first_s, out): first call pays compilation;
+    steady state is the min over _STEADY_REPEATS runs (the tunneled TPU is
+    contention-sensitive, so a single sample can absorb relay noise)."""
     import jax
     t0 = time.perf_counter()
     out = fn()
     jax.block_until_ready(out)
     compile_and_run = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = fn()
-    jax.block_until_ready(out)
-    return time.perf_counter() - t0, compile_and_run, out
+    steady = float("inf")
+    for _ in range(max(1, _STEADY_REPEATS)):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        steady = min(steady, time.perf_counter() - t0)
+    return steady, compile_and_run, out
 
 
 def bench_joint(frames: int, iters: int, rend: int, subdiv: int):
@@ -306,6 +315,8 @@ def main():
                     if cache_dir and os.path.isdir(cache_dir) else 0)
 
     if args.preset == "full":
+        global _STEADY_REPEATS
+        _STEADY_REPEATS = 3
         frames = args.frames or 30
         iters = args.iters or 400
         rend = args.rend or 256
