@@ -173,3 +173,39 @@ def test_betas_optimize_with_frozen_pca_pose(scene):
     labels2 = M.optimizer_param_labels(cfg2)
     assert labels2.mano_betas == "frozen"
     assert labels2.int_scales_hand == "rigid"
+
+
+def test_two_hand_fit_end_to_end():
+    """Two-hand clips (the reference's EPIC left+right mode): the fixed
+    LEFT-then-RIGHT interleaved layout fits end to end, including the
+    hand-hand + hand-object SDF pairs and the contact average over hands."""
+    scene = make_synthetic_scene(seed=3, frame_nb=2, image_size=64,
+                                 rend_size=64, perturb=0.02,
+                                 hand_sides=("left", "right"))
+    assert scene.cfg.hand_nb == 2
+    assert scene.cfg.hand_sides == ("left", "right")
+    B = 2
+    # Interleaved hands: B*H rows, frame t holds rows [2t] (left), [2t+1]
+    # (right); camera intrinsics repeat per hand row (model.py layout).
+    assert scene.init_state.mano_pca_pose.shape[0] == B * 2
+
+    lw = dict(L.DEFAULT_LW)
+    lw.update(lw_collision=0.001, lw_contact=1.0)
+    loss_dict, metric_dict = L.compute_all_losses(
+        scene.init_state, scene.consts, scene.cfg, lw,
+        closed_hand_faces=scene.closed_hand_faces,
+        roi_settings=scene.roi_settings)
+    for k, v in {**loss_dict, **metric_dict}.items():
+        assert np.isfinite(float(np.asarray(v).sum())), f"{k} not finite"
+
+    final, history = joint.optimize_hand_object(
+        scene.init_state, scene.consts, scene.cfg, loss_weights=lw,
+        num_iterations=25, lr=1e-2,
+        closed_hand_faces=scene.closed_hand_faces,
+        roi_settings=scene.roi_settings)
+    assert np.isfinite(np.asarray(history["loss"])).all()
+    assert float(history["loss"][-1]) < float(history["loss"][0])
+    # Both hands' parameters moved independently.
+    d = np.abs(np.asarray(final.mano_pca_pose)
+               - np.asarray(scene.init_state.mano_pca_pose))
+    assert (d.reshape(B, 2, -1).max(axis=(0, 2)) > 0).all()
