@@ -75,6 +75,9 @@ class RasterSettings:
     use_pallas: bool | None = None
 
 
+_TOPOLOGY_CACHE: dict = {}  # (shape, content-hash) -> MeshTopology
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MeshTopology:
@@ -93,6 +96,22 @@ class MeshTopology:
     @classmethod
     def from_faces(cls, faces) -> "MeshTopology":
         f = np.asarray(faces, np.int64)
+        # Pure in the face values and ~30-120 ms of host python per build
+        # (edge maps are per-face loops): memoize by content. The hand
+        # topology repeats across every sample of a dataset run and the
+        # object topology across every frame chunk of a video.
+        key = (f.shape, hash(np.ascontiguousarray(f).tobytes()))
+        hit = _TOPOLOGY_CACHE.get(key)
+        if hit is not None:
+            return hit
+        topo = cls._build_from_faces(f)
+        if len(_TOPOLOGY_CACHE) >= 16:  # bound device-array retention
+            _TOPOLOGY_CACHE.pop(next(iter(_TOPOLOGY_CACHE)))
+        _TOPOLOGY_CACHE[key] = topo
+        return topo
+
+    @classmethod
+    def _build_from_faces(cls, f: np.ndarray) -> "MeshTopology":
         # Degenerate (padding) faces have repeated vertices; keep them in
         # `faces` (they rasterize to nothing) but omit their edges.
         good = ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
