@@ -112,35 +112,44 @@ class MeshTopology:
 
     @classmethod
     def _build_from_faces(cls, f: np.ndarray) -> "MeshTopology":
+        # Vectorized edge extraction (a per-face python loop costs
+        # 0.2-0.8 s on 1k-5k-face meshes). Semantics proven equal to the
+        # loop formulation by tests/test_rasterizer.py's oracle test:
+        # unique undirected edges sorted by (u, v); per edge the FIRST two
+        # faces in face-major (a,b),(b,c),(c,a) generation order; dir_f1 =
+        # whether the edge appears as u->v in the slot-0 face's cycle.
+        #
         # Degenerate (padding) faces have repeated vertices; keep them in
         # `faces` (they rasterize to nothing) but omit their edges.
         good = ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
                 & (f[:, 0] != f[:, 2]))
-        edge_map = {}
-        for fi in np.nonzero(good)[0]:
-            a, b, c = f[fi]
-            for u, v in ((a, b), (b, c), (c, a)):
-                key = (min(u, v), max(u, v))
-                slot = edge_map.setdefault(key, [])
-                if len(slot) < 2:
-                    slot.append(int(fi))
-        if edge_map:
-            edges = np.array(sorted(edge_map.keys()), np.int64)
+        fg = f[good]
+        if fg.size:
+            gid = np.nonzero(good)[0]
+            # (Fg, 3, 2) directed edges in cycle order, face-major.
+            dir_edges = np.stack(
+                [fg[:, [0, 1]], fg[:, [1, 2]], fg[:, [2, 0]]],
+                axis=1).reshape(-1, 2)
+            face_of = np.repeat(gid, 3)
+            canon = np.sort(dir_edges, axis=1)  # (3Fg, 2) as (min, max)
+            edges, inverse = np.unique(canon, axis=0, return_inverse=True)
+            # Stable sort by edge id keeps generation order within groups,
+            # so group starts give each edge's first (and second) faces.
+            order = np.argsort(inverse, kind="stable")
+            counts = np.bincount(inverse, minlength=len(edges))
+            starts = np.searchsorted(inverse[order], np.arange(len(edges)))
             adj = np.full((len(edges), 2), -1, np.int64)
-            for i, key in enumerate(map(tuple, edges)):
-                fs = edge_map[key]
-                adj[i, : len(fs)] = fs
+            adj[:, 0] = face_of[order[starts]]
+            second = np.minimum(starts + 1, len(order) - 1)
+            adj[:, 1] = np.where(counts > 1, face_of[order[second]], -1)
+            # Orientation of (u, v) within the slot-0 face's cycle: the
+            # first occurrence's directed pair is ascending iff u->v.
+            first_dir = dir_edges[order[starts]]
+            dir_f1 = first_dir[:, 0] < first_dir[:, 1]
         else:
             edges = np.zeros((1, 2), np.int64)
             adj = np.full((1, 2), -1, np.int64)
-        # Orientation of (u, v) within the first adjacent face's cycle.
-        dir_f1 = np.zeros(len(edges), bool)
-        for i, (u, v) in enumerate(edges):
-            fi = adj[i, 0]
-            if fi < 0:
-                continue
-            a, b, c = f[fi]
-            dir_f1[i] = (a, b) == (u, v) or (b, c) == (u, v) or (c, a) == (u, v)
+            dir_f1 = np.zeros(1, bool)
         return cls(
             faces=jnp.asarray(f, jnp.int32),
             edges=jnp.asarray(edges, jnp.int32),

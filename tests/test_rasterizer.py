@@ -264,3 +264,63 @@ def test_pallas_depth_matches_xla_depth():
     gx, gp = np.asarray(g_x), np.asarray(g_p)
     rel = np.abs(gx - gp).max() / np.abs(gx).max()
     assert rel < 5e-3, f"relative gradient deviation {rel}"
+
+
+def _topology_loop_oracle(f):
+    """The original per-face loop formulation of MeshTopology construction,
+    kept as the semantic oracle for the vectorized _build_from_faces."""
+    f = np.asarray(f, np.int64)
+    good = ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+            & (f[:, 0] != f[:, 2]))
+    edge_map = {}
+    for fi in np.nonzero(good)[0]:
+        a, b, c = f[fi]
+        for u, v in ((a, b), (b, c), (c, a)):
+            key = (min(u, v), max(u, v))
+            slot = edge_map.setdefault(key, [])
+            if len(slot) < 2:
+                slot.append(int(fi))
+    if edge_map:
+        edges = np.array(sorted(edge_map.keys()), np.int64)
+        adj = np.full((len(edges), 2), -1, np.int64)
+        for i, key in enumerate(map(tuple, edges)):
+            adj[i, : len(edge_map[key])] = edge_map[key]
+    else:
+        edges = np.zeros((1, 2), np.int64)
+        adj = np.full((1, 2), -1, np.int64)
+    dir_f1 = np.zeros(len(edges), bool)
+    for i, (u, v) in enumerate(edges):
+        fi = adj[i, 0]
+        if fi < 0:
+            continue
+        a, b, c = f[fi]
+        dir_f1[i] = (a, b) == (u, v) or (b, c) == (u, v) or (c, a) == (u, v)
+    return edges, adj, dir_f1
+
+
+def test_topology_vectorized_matches_loop_oracle():
+    from homan_tpu.core.mano import ManoLayer
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    layer = ManoLayer.synthetic(0)
+    cases = {
+        "icosphere": icosphere(2, 1.0)[1],
+        "potato": bumpy_potato(3, 0.1, seed=1)[1],
+        "open_hand": np.asarray(layer.faces("right")),  # boundary edges
+        "left_hand": np.asarray(layer.faces("left")),   # mirrored winding
+    }
+    # Degenerate padding rows + a duplicated face (non-manifold edge pair)
+    pot = np.asarray(cases["potato"])
+    cases["padded_dup"] = np.concatenate(
+        [pot, pot[:1], np.zeros((5, 3), np.int64)])
+    cases["all_degenerate"] = np.zeros((4, 3), np.int64)
+
+    for name, faces in cases.items():
+        edges, adj, dir_f1 = _topology_loop_oracle(faces)
+        topo = MeshTopology._build_from_faces(np.asarray(faces, np.int64))
+        np.testing.assert_array_equal(np.asarray(topo.edges), edges, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(topo.edge_faces), adj,
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(topo.edge_dir_f1), dir_f1,
+                                      err_msg=name)
