@@ -46,6 +46,16 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
     py = -1.0 + (2.0 * iy.astype(jnp.float32) + 1.0) * inv
     pz = -1.0 + (2.0 * iz.astype(jnp.float32) + 1.0) * inv
 
+    # The ray-parity test only depends on (x, y): a block of PB consecutive
+    # linear indices is CP = PB // g complete z-columns (z is the fastest
+    # axis), so parity runs on (CP, TF) rows instead of (PB, TF) — ~g x less
+    # work on a term that used to be ~25% of the kernel.
+    CP = PB // g
+    col = nb_idx * CP + jax.lax.broadcasted_iota(jnp.int32, (CP, 1), 0)
+    cpx = -1.0 + (2.0 * (col // g).astype(jnp.float32) + 1.0) * inv  # (CP, 1)
+    cpy = -1.0 + (2.0 * (col % g).astype(jnp.float32) + 1.0) * inv
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
     def tile_body(t, carry):
         d2min, crossings = carry
         sl = pl.ds(t * TF, TF)
@@ -63,8 +73,10 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
         # ---- point-triangle distance^2 (plane vs closest edge) ----
         def seg_d2(sx, sy, sz, ex, ey, ez):
             dx, dy, dz = ex - sx, ey - sy, ez - sz
-            denom = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
-            tt = ((px - sx) * dx + (py - sy) * dy + (pz - sz) * dz) / denom
+            # reciprocal on the (1, TF) face rows, multiply on the (PB, TF)
+            # broadcast domain — avoids a full-tile divide
+            inv_dd = 1.0 / jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
+            tt = ((px - sx) * dx + (py - sy) * dy + (pz - sz) * dz) * inv_dd
             tt = jnp.clip(tt, 0.0, 1.0)
             qx = px - (sx + tt * dx)
             qy = py - (sy + tt * dy)
@@ -83,12 +95,12 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
         ny = uz * vx - ux * vz
         nz = ux * vy - uy * vx
         nn_raw = nx * nx + ny * ny + nz * nz
-        nn = jnp.maximum(nn_raw, 1e-18)
+        inv_nn = 1.0 / jnp.maximum(nn_raw, 1e-18)  # (1, TF) row
         dplane = (px - ax) * nx + (py - ay) * ny + (pz - az) * nz
-        # projection onto the plane
-        qx = px - dplane * nx / nn
-        qy = py - dplane * ny / nn
-        qz = pz - dplane * nz / nn
+        # projection onto the plane (row-scaled normal, no full-tile divide)
+        qx = px - dplane * (nx * inv_nn)
+        qy = py - dplane * (ny * inv_nn)
+        qz = pz - dplane * (nz * inv_nn)
         # barycentric test of projection (scaled by n)
         w0 = (((by - qy) * (cz - qz) - (bz - qz) * (cy - qy)) * nx
               + ((bz - qz) * (cx - qx) - (bx - qx) * (cz - qz)) * ny
@@ -102,31 +114,42 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
         # degenerate (zero-area) triangles, e.g. pad_mesh padding faces,
         # must take the edge branch: their plane distance is identically 0
         inside_face = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (nn_raw > 1e-18)
-        plane_d2 = dplane * dplane / nn
+        plane_d2 = dplane * dplane * inv_nn
         d2 = jnp.where(inside_face, plane_d2, edge_d2)
         d2 = jnp.where(valid > 0.5, d2, big)
         d2min = jnp.minimum(d2min, jnp.min(d2, axis=1, keepdims=True))
 
         # ---- +z ray crossing parity (2D xy containment + z above) ----
-        e0 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-        e1 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
-        e2 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        # Same float expressions as before, evaluated once per xy-column
+        # (CP rows) instead of once per grid point (PB rows) — bit-identical
+        # values, ~g x less arithmetic.
+        e0 = (bx - ax) * (cpy - ay) - (by - ay) * (cpx - ax)
+        e1 = (cx - bx) * (cpy - by) - (cy - by) * (cpx - bx)
+        e2 = (ax - cx) * (cpy - cy) - (ay - cy) * (cpx - cx)
         inside_xy = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
                      | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)))
         area2 = e0 + e1 + e2
         nondegen = jnp.abs(area2) > 1e-12
         denom2 = jnp.where(nondegen, area2, 1.0)
-        z_tri = (e1 * az + e2 * bz + e0 * cz) / denom2
-        cross = inside_xy & nondegen & (z_tri > pz) & (valid > 0.5)
-        crossings = crossings + jnp.sum(cross.astype(jnp.float32), axis=1,
-                                        keepdims=True)
+        z_tri = (e1 * az + e2 * bz + e0 * cz) / denom2  # (CP, TF)
+        hit = inside_xy & nondegen & (valid > 0.5)
+
+        def z_body(k, cr):
+            zk = -1.0 + (2.0 * k.astype(jnp.float32) + 1.0) * inv
+            cross = hit & (z_tri > zk)
+            cc = jnp.sum(cross.astype(jnp.float32), axis=1,
+                         keepdims=True)                      # (CP, 1)
+            return cr + cc * (k_iota == k).astype(jnp.float32)
+
+        crossings = jax.lax.fori_loop(0, grid_size, z_body, crossings)
         return d2min, crossings
 
     d2min = jnp.full((PB, 1), big, jnp.float32)
-    crossings = jnp.zeros((PB, 1), jnp.float32)
+    crossings = jnp.zeros((CP, g), jnp.float32)
     d2min, crossings = jax.lax.fori_loop(0, n_tiles, tile_body,
                                          (d2min, crossings))
-    odd = jnp.mod(crossings, 2.0) > 0.5
+    # (CP, g) row-major (column, z) matches the (PB, 1) linear-point order.
+    odd = (jnp.mod(crossings, 2.0) > 0.5).reshape(PB, 1)
     dist = jnp.sqrt(jnp.maximum(d2min, 1e-20))
     # (PB, 1) -> (8, 128) row-major: point p -> (p // 128, p % 128)
     phi_ref[0] = jnp.where(odd, dist, 0.0).reshape(PB // 128, 128)
@@ -151,6 +174,7 @@ def voxelize_interior_sdf_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
     """Drop-in for interactions.sdf.voxelize_interior_sdf (forward only)."""
     g = grid_size
     assert (g ** 3) % PB == 0, "grid^3 must divide the point-block size"
+    assert PB % g == 0, "point blocks must hold whole z-columns"
     tri_pack = pack_triangles(jnp.asarray(verts, jnp.float32), faces)
     B = tri_pack.shape[0]
     n_tiles = tri_pack.shape[2] // TF
