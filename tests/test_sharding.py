@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from homan_tpu.frontend.gtsynth import make_synthetic_scene
 from homan_tpu.parallel import clips as par
@@ -45,6 +46,60 @@ def test_fit_clips_batched_sharded_matches_single():
     np.testing.assert_allclose(
         np.asarray(final.translations_object[0]),
         np.asarray(single.translations_object), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fit_frames_sharded_matches_single():
+    """Sequence parallelism: ONE clip's frame axis sharded over all 8
+    devices must reproduce the unsharded fit (the smoothness halo exchange
+    and the global-scale gradient all-reduce are the only cross-chip math).
+    Two hands exercise the interleaved B*H row split."""
+    from homan_tpu.fit import joint
+    from homan_tpu.parallel import frames as fpar
+
+    scene = make_synthetic_scene(seed=3, frame_nb=8, hand_sides=("left",
+                                                                 "right"),
+                                 image_size=64, rend_size=32)
+    lw = {"lw_sil_obj": 1.0, "lw_v2d_hand": 50.0, "lw_smooth_obj": 1.0,
+          "lw_smooth_hand": 1.0, "lw_pca": 0.004, "lw_scale_obj": 0.001,
+          "lw_scale_hand": 0.001, "lw_inter": 1.0}
+
+    mesh = fpar.make_frame_mesh(8)
+    sharded, hist_s = fpar.fit_frames_sharded(
+        scene.init_state, scene.consts, scene.cfg, mesh,
+        loss_weights=lw, num_iterations=5,
+        roi_settings=scene.roi_settings)
+    single, hist_1 = joint.optimize_hand_object(
+        scene.init_state, scene.consts, scene.cfg, loss_weights=lw,
+        num_iterations=5, roi_settings=scene.roi_settings)
+
+    np.testing.assert_allclose(np.asarray(hist_s["loss"]),
+                               np.asarray(hist_1["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(sharded.translations_object),
+                               np.asarray(single.translations_object),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.mano_pca_pose),
+                               np.asarray(single.mano_pca_pose), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.int_scales_object),
+                               np.asarray(single.int_scales_object),
+                               atol=1e-5)
+    # The frame shards must actually live on distinct devices.
+    placed = sharded.translations_object
+    assert len(placed.sharding.device_set) == 8
+
+
+def test_frame_shard_requires_divisibility():
+    from homan_tpu.parallel import frames as fpar
+
+    scene = make_synthetic_scene(seed=0, frame_nb=3, image_size=64,
+                                 rend_size=32)
+    mesh = fpar.make_frame_mesh(8)
+    try:
+        fpar.shard_frames(scene.init_state, scene.consts, mesh)
+    except ValueError as e:
+        assert "divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError on frame_nb=3 over 8")
 
 
 def test_dryrun_multichip_contract():
