@@ -96,6 +96,12 @@ def get_args(argv=None):
                         type=int,
                         help="batch stage-B frames 1..T-1 in one program "
                              "(init from frame 0 instead of chaining)")
+    parser.add_argument("--frames_sharded", choices=[0, 1], default=0,
+                        type=int,
+                        help="shard the clip's frame axis over all devices "
+                             "for the stage-C joint fit (sequence "
+                             "parallelism; needs frame_nb %% device_count "
+                             "== 0, falls back to unsharded otherwise)")
     parser.add_argument("--prewarm", choices=[0, 1], default=1, type=int,
                         help="compile the stage-C joint-fit program in a "
                              "background thread while stages A+B run "
@@ -437,6 +443,25 @@ def main(args):
                     optim_frames.append(frontal[0])
             except Exception as exc:
                 logger.warning("viz_step render failed: %s", exc)
+
+        if args.frames_sharded:
+            import jax
+
+            from homan_tpu.parallel import frames as fpar
+            ndev = len(jax.devices())
+            # Largest device count that divides the clip length (whole
+            # frames per device); 1 = no useful split.
+            use = max(d for d in range(1, ndev + 1)
+                      if args.frame_nb % d == 0)
+            if use > 1:
+                fmesh = fpar.make_frame_mesh(use)
+                state, consts = fpar.shard_frames(state, consts, fmesh)
+                logger.info("stage C frame axis sharded over %d devices",
+                            use)
+            else:
+                logger.warning(
+                    "--frames_sharded: %d frames don't split over %d "
+                    "devices; running unsharded", args.frame_nb, ndev)
 
         with timers.time("stageC_joint_fit") as hold:
             final_state, history = joint.optimize_hand_object(

@@ -117,3 +117,52 @@ def test_fit_video_gt_masks_end_to_end(ho3d_tree, tmp_path, monkeypatch):
     assert "loss_collision" in res2["losses"]
     assert "loss_contact" in res2["losses"]
     assert np.isfinite(np.asarray(res2["losses"]["loss"])).all()
+
+
+def test_fit_video_frames_sharded(ho3d_tree, tmp_path, monkeypatch):
+    """--frames_sharded 1 routes stage C through the sequence-parallel path
+    (frame axis over the largest dividing device count — 4 frames -> 4 of
+    the 8 virtual devices) and still writes a valid fit."""
+    from homan_tpu.cli import fit_video
+
+    monkeypatch.chdir(tmp_path)
+    result_root = str(tmp_path / "results_sharded")
+    args = fit_video.get_args([
+        "--dataset", "ho3d", "--split", "val",
+        "--gt_masks", "1",
+        "--frame_nb", "4", "--chunk_step", "1",
+        "--num_initializations", "24",
+        "--num_obj_iterations", "5",
+        "--num_joint_iterations", "6",
+        "--viz_step", "0",
+        "--rend_size", "64",
+        "--frames_sharded", "1",
+        "--result_root", result_root,
+        "--mano_root", str(tmp_path / "no_mano"),
+    ])
+    import homan_tpu.data.factory as factory
+    orig = factory.get_dataset
+
+    def patched(name, **kw):
+        kw.update(root=ho3d_tree,
+                  ycb_root=os.path.join(ho3d_tree, "ycbmodels"),
+                  cache_folder=str(tmp_path / "cache_sharded"),
+                  load_img=False)
+        from homan_tpu.core.mano import ManoLayer
+        kw["mano_layer"] = ManoLayer.synthetic(0)
+        kw.pop("mano_root", None)
+        return orig(name, **kw)
+
+    monkeypatch.setattr("homan_tpu.data.factory.get_dataset", patched)
+    monkeypatch.setattr("homan_tpu.cli.fit_video.get_dataset", patched,
+                        raising=False)
+
+    fit_video.main(args)
+
+    sample_dir = os.path.join(result_root, "samples", "00000000")
+    assert os.path.exists(os.path.join(sample_dir, "joint_fit.npz"))
+    with open(os.path.join(sample_dir, "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    losses = np.asarray(res["losses"]["loss"])
+    assert losses.shape == (6,)
+    assert np.isfinite(losses).all()
