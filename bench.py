@@ -38,6 +38,15 @@ def _tile_for(rend):
 _STEADY_REPEATS = 1  # set per preset in main(); min-of-k steady timing
 
 
+def _denan(x):
+    """Failed extras serialize as null, not the invalid-JSON NaN token."""
+    if isinstance(x, dict):
+        return {k: _denan(v) for k, v in x.items()}
+    if isinstance(x, float) and x != x:
+        return None
+    return x
+
+
 def _timed(fn):
     """(steady_s, compile_and_first_s, out): first call pays compilation;
     steady state is the min over _STEADY_REPEATS runs (the tunneled TPU is
@@ -333,79 +342,122 @@ def main():
         extras_cfg = dict(frames=2, inits=24, obj_iters=5, rend=rend,
                           subdiv=subdiv)
 
+    # Hang watchdog: a wedged device tunnel blocks inside a C call that no
+    # signal can interrupt, which would leave the driver with NO record at
+    # all. A daemon thread watches per-workload progress and, after
+    # `watchdog_s` without any workload finishing, prints the partial JSON
+    # (real numbers for what completed, null for the rest) and hard-exits.
+    import sys
+    import threading
+    watchdog_s = float(os.environ.get("HOMAN_BENCH_WATCHDOG_S", "900"))
+    progress = {"t": time.time(), "stage": "startup"}
+    partial = {}  # filled as workloads finish; read by the watchdog
+
+    def _emit(record, code=None):
+        print(json.dumps(_denan(record)), flush=True)
+        if code is not None:
+            os._exit(code)
+
+    def _watch():
+        while True:
+            time.sleep(15)
+            idle = time.time() - progress["t"]
+            if watchdog_s > 0 and idle > watchdog_s:
+                rec = _partial_record(partial)
+                print(f"bench watchdog: no progress for {idle:.0f}s "
+                      f"(stuck in {progress['stage']}); emitting partial "
+                      "record", file=sys.stderr)
+                _emit(rec, code=2)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
     def soft(fn, *a, n_out=2, **kw):
         """One failing extra workload must not kill the whole bench record."""
+        progress["t"] = time.time()
+        progress["stage"] = fn.__name__
         try:
-            return fn(*a, **kw)
+            out = fn(*a, **kw)
         except Exception as exc:  # noqa: BLE001 — record and move on
-            import sys
             import traceback
             traceback.print_exc()
             print(f"bench workload {fn.__name__} failed: {exc}",
                   file=sys.stderr)
-            return (float("nan"),) * n_out
+            out = (float("nan"),) * n_out
+        progress["t"] = time.time()
+        return out
 
-    elapsed, compile_s = bench_joint(frames, iters, rend, subdiv)
-    sb, sb_c, sb_iou = soft(bench_stageb, n_out=3, **extras_cfg)
-    pl, pl_c = soft(bench_pipeline,
-                    joint_iters=201 if args.preset == "full" else 5,
-                    **extras_cfg)
     n_clips = 4 if args.preset == "full" else 2
-    mc, mc_c = soft(bench_multiclip, n_clips, extras_cfg["frames"],
-                    iters if args.preset == "full" else 5,
-                    extras_cfg["rend"], extras_cfg["subdiv"])
     depth_iters = 100 if args.preset == "full" else 5
-    dp, dp_c = soft(bench_depth, extras_cfg["frames"], depth_iters,
-                    extras_cfg["rend"], extras_cfg["subdiv"])
     c3_iters = 400 if args.preset == "full" else 5
-    c3d, c3d_c = soft(bench_config3, extras_cfg["frames"], c3_iters,
-                      extras_cfg["rend"], extras_cfg["subdiv"],
-                      sdf_mode="direct")
-    c3g, c3g_c = soft(bench_config3, extras_cfg["frames"], c3_iters,
-                      extras_cfg["rend"], extras_cfg["subdiv"],
-                      sdf_mode="grid")
-
     ec = extras_cfg
-    result = {
-        "metric": f"joint_fit_{frames}f_{iters}it_seconds",
-        "value": round(elapsed, 4),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / elapsed, 4),
-        "extra": {
-            f"stageb_{ec['inits']}c_{ec['obj_iters']}it_{ec['frames']}f_s":
-                round(sb, 3),
-            "stageb_best_iou": round(sb_iou, 4),
-            f"pipeline_{ec['frames']}f_s": round(pl, 3),
-            f"multiclip_{n_clips}x{ec['frames']}f_s": round(mc, 3),
-            f"depth_{ec['frames']}f_{depth_iters}it_s": round(dp, 3),
-            f"config3_direct_{ec['frames']}f_{c3_iters}it_s": round(c3d, 3),
-            f"config3_grid_{ec['frames']}f_{c3_iters}it_s": round(c3g, 3),
-            "jit_cache": {
-                "enabled": bool(cache_dir),
-                "entries_before": cache_before,
-                "entries_added": (len(glob.glob(os.path.join(cache_dir, "*")))
-                                  - cache_before
-                                  if cache_dir and os.path.isdir(cache_dir)
-                                  else 0),
-            },
-            "compile_s": {"joint": round(compile_s, 1),
-                          "stageb": round(sb_c, 1),
-                          "pipeline": round(pl_c, 1),
-                          "multiclip": round(mc_c, 1),
-                          "depth": round(dp_c, 1),
-                          "config3_direct": round(c3d_c, 1),
-                          "config3_grid": round(c3g_c, 1)},
-        },
-    }
-    def denan(x):
-        """Failed extras serialize as null, not the invalid-JSON NaN token."""
-        if isinstance(x, dict):
-            return {k: denan(v) for k, v in x.items()}
-        if isinstance(x, float) and x != x:
-            return None
-        return x
+    nan = float("nan")
 
-    print(json.dumps(denan(result)))
+    def _partial_record(vals):
+        g = lambda k, d=nan: vals.get(k, d)  # noqa: E731
+        headline = g("headline")
+        return {
+            "metric": f"joint_fit_{frames}f_{iters}it_seconds",
+            "value": round(headline, 4) if headline == headline else nan,
+            "unit": "s",
+            "vs_baseline": (round(baseline_s / headline, 4)
+                            if headline == headline else nan),
+            "extra": {
+                f"stageb_{ec['inits']}c_{ec['obj_iters']}it_"
+                f"{ec['frames']}f_s": round(g("sb"), 3),
+                "stageb_best_iou": round(g("sb_iou"), 4),
+                f"pipeline_{ec['frames']}f_s": round(g("pl"), 3),
+                f"multiclip_{n_clips}x{ec['frames']}f_s": round(g("mc"), 3),
+                f"depth_{ec['frames']}f_{depth_iters}it_s": round(g("dp"), 3),
+                f"config3_direct_{ec['frames']}f_{c3_iters}it_s":
+                    round(g("c3d"), 3),
+                f"config3_grid_{ec['frames']}f_{c3_iters}it_s":
+                    round(g("c3g"), 3),
+                "jit_cache": {
+                    "enabled": bool(cache_dir),
+                    "entries_before": cache_before,
+                    "entries_added": (
+                        len(glob.glob(os.path.join(cache_dir, "*")))
+                        - cache_before
+                        if cache_dir and os.path.isdir(cache_dir) else 0),
+                },
+                "compile_s": {"joint": round(g("headline_c"), 1),
+                              "stageb": round(g("sb_c"), 1),
+                              "pipeline": round(g("pl_c"), 1),
+                              "multiclip": round(g("mc_c"), 1),
+                              "depth": round(g("dp_c"), 1),
+                              "config3_direct": round(g("c3d_c"), 1),
+                              "config3_grid": round(g("c3g_c"), 1)},
+            },
+        }
+
+    # The headline is NOT exception-wrapped (a broken headline must fail the
+    # bench loudly), but it does report progress so the watchdog can tell a
+    # hung tunnel from a slow compile.
+    progress["stage"] = "bench_joint"
+    partial["headline"], partial["headline_c"] = bench_joint(
+        frames, iters, rend, subdiv)
+    progress["t"] = time.time()
+    partial["sb"], partial["sb_c"], partial["sb_iou"] = soft(
+        bench_stageb, n_out=3, **extras_cfg)
+    partial["pl"], partial["pl_c"] = soft(
+        bench_pipeline, joint_iters=201 if args.preset == "full" else 5,
+        **extras_cfg)
+    partial["mc"], partial["mc_c"] = soft(
+        bench_multiclip, n_clips, extras_cfg["frames"],
+        iters if args.preset == "full" else 5,
+        extras_cfg["rend"], extras_cfg["subdiv"])
+    partial["dp"], partial["dp_c"] = soft(
+        bench_depth, extras_cfg["frames"], depth_iters,
+        extras_cfg["rend"], extras_cfg["subdiv"])
+    partial["c3d"], partial["c3d_c"] = soft(
+        bench_config3, extras_cfg["frames"], c3_iters,
+        extras_cfg["rend"], extras_cfg["subdiv"], sdf_mode="direct")
+    partial["c3g"], partial["c3g_c"] = soft(
+        bench_config3, extras_cfg["frames"], c3_iters,
+        extras_cfg["rend"], extras_cfg["subdiv"], sdf_mode="grid")
+
+    result = _partial_record(partial)
+    _emit(result)
     return result
 
 
