@@ -47,6 +47,15 @@ def _denan(x):
     return x
 
 
+_PROGRESS = None  # set by main(); _timed ticks it so the hang watchdog can
+                  # tell a slow-but-alive workload from a wedged device call
+
+
+def _tick():
+    if _PROGRESS is not None:
+        _PROGRESS["t"] = time.time()
+
+
 def _timed(fn):
     """(steady_s, compile_and_first_s, out): first call pays compilation;
     steady state is the min over _STEADY_REPEATS runs (the tunneled TPU is
@@ -56,12 +65,14 @@ def _timed(fn):
     out = fn()
     jax.block_until_ready(out)
     compile_and_run = time.perf_counter() - t0
+    _tick()
     steady = float("inf")
     for _ in range(max(1, _STEADY_REPEATS)):
         t0 = time.perf_counter()
         out = fn()
         jax.block_until_ready(out)
         steady = min(steady, time.perf_counter() - t0)
+        _tick()
     return steady, compile_and_run, out
 
 
@@ -351,6 +362,8 @@ def main():
     import threading
     watchdog_s = float(os.environ.get("HOMAN_BENCH_WATCHDOG_S", "900"))
     progress = {"t": time.time(), "stage": "startup"}
+    global _PROGRESS
+    _PROGRESS = progress
     partial = {}  # filled as workloads finish; read by the watchdog
 
     def _emit(record, code=None):

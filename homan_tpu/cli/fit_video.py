@@ -206,6 +206,14 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
     return state, consts, cfg
 
 
+def _frames_shard_devices(frame_nb: int) -> int:
+    """Largest device count that divides the clip length (whole frames per
+    device); 1 = sequence parallelism not applicable."""
+    import jax
+    ndev = len(jax.devices())
+    return max(d for d in range(1, ndev + 1) if frame_nb % d == 0)
+
+
 def _spawn_joint_prewarm(annots, args, mano_layer, image_size, loss_weights,
                          closed_hand_faces):
     """Compile stage C's programs in a daemon thread while stages A+B run.
@@ -352,7 +360,12 @@ def main(args):
                     "need --gt_masks 1 or --evidence_root (no detector "
                     "networks are bundled)")
             prewarm_thread = None
-            if args.prewarm:
+            # The jit cache is keyed on input SHARDINGS too: when stage C
+            # will run frame-sharded, the unsharded prewarm executable
+            # would never be reused — skip it instead of compiling waste.
+            will_shard = (args.frames_sharded and _frames_shard_devices(
+                len(annots["frame_idxs"])) > 1)
+            if args.prewarm and not will_shard:
                 prewarm_thread = _spawn_joint_prewarm(
                     annots, args, mano_layer, image_size, loss_weights,
                     closed_hand_faces)
@@ -445,14 +458,8 @@ def main(args):
                 logger.warning("viz_step render failed: %s", exc)
 
         if args.frames_sharded:
-            import jax
-
             from homan_tpu.parallel import frames as fpar
-            ndev = len(jax.devices())
-            # Largest device count that divides the clip length (whole
-            # frames per device); 1 = no useful split.
-            use = max(d for d in range(1, ndev + 1)
-                      if args.frame_nb % d == 0)
+            use = _frames_shard_devices(state.translations_object.shape[0])
             if use > 1:
                 fmesh = fpar.make_frame_mesh(use)
                 state, consts = fpar.shard_frames(state, consts, fmesh)
@@ -460,8 +467,9 @@ def main(args):
                             use)
             else:
                 logger.warning(
-                    "--frames_sharded: %d frames don't split over %d "
-                    "devices; running unsharded", args.frame_nb, ndev)
+                    "--frames_sharded: %d frames don't split over the "
+                    "available devices; running unsharded",
+                    state.translations_object.shape[0])
 
         with timers.time("stageC_joint_fit") as hold:
             final_state, history = joint.optimize_hand_object(
