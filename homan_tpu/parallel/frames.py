@@ -19,9 +19,10 @@ losses) stays chip-local. No shard_map or manual collectives: the sharding
 prefix trees below are the entire parallel implementation.
 
 Reference anchor: the reference treats frames as the optimization batch axis
-(homan/jointopt.py:22-201, homan/homan.py:61-64) and scales across videos
-only by launching separate jobs (fit_vid_dataset.py:54-55); frame-axis SPMD
-is the TPU-native answer for one long video.
+(homan/jointopt.py:92-124 builds one model over all-frame [B, ...] tensors;
+homan/homan.py:61-64 lays hands out as B*H rows) and scales across
+videos only by launching separate jobs (fit_vid_dataset.py:54-55);
+frame-axis SPMD is the TPU-native answer for one long video.
 """
 from __future__ import annotations
 
