@@ -46,16 +46,6 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
     py = -1.0 + (2.0 * iy.astype(jnp.float32) + 1.0) * inv
     pz = -1.0 + (2.0 * iz.astype(jnp.float32) + 1.0) * inv
 
-    # The ray-parity test only depends on (x, y): a block of PB consecutive
-    # linear indices is CP = PB // g complete z-columns (z is the fastest
-    # axis), so parity runs on (CP, TF) rows instead of (PB, TF) — ~g x less
-    # work on a term that used to be ~25% of the kernel.
-    CP = PB // g
-    col = nb_idx * CP + jax.lax.broadcasted_iota(jnp.int32, (CP, 1), 0)
-    cpx = -1.0 + (2.0 * (col // g).astype(jnp.float32) + 1.0) * inv  # (CP, 1)
-    cpy = -1.0 + (2.0 * (col % g).astype(jnp.float32) + 1.0) * inv
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
-
     def tile_body(t, carry):
         d2min, crossings = carry
         sl = pl.ds(t * TF, TF)
@@ -120,36 +110,29 @@ def _voxelize_kernel(tri_ref, phi_ref, *, grid_size: int, n_tiles: int,
         d2min = jnp.minimum(d2min, jnp.min(d2, axis=1, keepdims=True))
 
         # ---- +z ray crossing parity (2D xy containment + z above) ----
-        # Same float expressions as before, evaluated once per xy-column
-        # (CP rows) instead of once per grid point (PB rows) — bit-identical
-        # values, ~g x less arithmetic.
-        e0 = (bx - ax) * (cpy - ay) - (by - ay) * (cpx - ax)
-        e1 = (cx - bx) * (cpy - by) - (cy - by) * (cpx - bx)
-        e2 = (ax - cx) * (cpy - cy) - (ay - cy) * (cpx - cx)
+        # NOTE: a per-xy-column evaluation ((CP,TF) rows + a z-plane loop,
+        # commit 4986c91) is bit-identical but pays g sequential loop trips
+        # per tile — likely a net loss on TPU (pending A/B); this is the
+        # single-pass (PB,TF) form.
+        e0 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        e1 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        e2 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
         inside_xy = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
                      | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)))
         area2 = e0 + e1 + e2
         nondegen = jnp.abs(area2) > 1e-12
         denom2 = jnp.where(nondegen, area2, 1.0)
-        z_tri = (e1 * az + e2 * bz + e0 * cz) / denom2  # (CP, TF)
-        hit = inside_xy & nondegen & (valid > 0.5)
-
-        def z_body(k, cr):
-            zk = -1.0 + (2.0 * k.astype(jnp.float32) + 1.0) * inv
-            cross = hit & (z_tri > zk)
-            cc = jnp.sum(cross.astype(jnp.float32), axis=1,
-                         keepdims=True)                      # (CP, 1)
-            return cr + cc * (k_iota == k).astype(jnp.float32)
-
-        crossings = jax.lax.fori_loop(0, grid_size, z_body, crossings)
+        z_tri = (e1 * az + e2 * bz + e0 * cz) / denom2
+        cross = inside_xy & nondegen & (z_tri > pz) & (valid > 0.5)
+        crossings = crossings + jnp.sum(cross.astype(jnp.float32), axis=1,
+                                        keepdims=True)
         return d2min, crossings
 
     d2min = jnp.full((PB, 1), big, jnp.float32)
-    crossings = jnp.zeros((CP, g), jnp.float32)
+    crossings = jnp.zeros((PB, 1), jnp.float32)
     d2min, crossings = jax.lax.fori_loop(0, n_tiles, tile_body,
                                          (d2min, crossings))
-    # (CP, g) row-major (column, z) matches the (PB, 1) linear-point order.
-    odd = (jnp.mod(crossings, 2.0) > 0.5).reshape(PB, 1)
+    odd = jnp.mod(crossings, 2.0) > 0.5
     dist = jnp.sqrt(jnp.maximum(d2min, 1e-20))
     # (PB, 1) -> (8, 128) row-major: point p -> (p // 128, p % 128)
     phi_ref[0] = jnp.where(odd, dist, 0.0).reshape(PB // 128, 128)
@@ -174,7 +157,6 @@ def voxelize_interior_sdf_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
     """Drop-in for interactions.sdf.voxelize_interior_sdf (forward only)."""
     g = grid_size
     assert (g ** 3) % PB == 0, "grid^3 must divide the point-block size"
-    assert PB % g == 0, "point blocks must hold whole z-columns"
     tri_pack = pack_triangles(jnp.asarray(verts, jnp.float32), faces)
     B = tri_pack.shape[0]
     n_tiles = tri_pack.shape[2] // TF
