@@ -1,1 +1,3 @@
-"""Device-mesh parallelism: independent clips sharded data-parallel."""
+"""Device-mesh parallelism: clip data-parallelism (parallel/clips.py),
+frame-axis sequence parallelism for one long clip (parallel/frames.py), and
+multi-host deployment glue (parallel/multihost.py)."""
