@@ -74,3 +74,91 @@ def test_two_process_distributed_allgather(tmp_path):
     # values from both processes present
     vals = np.asarray(payloads[0]["metric"])
     assert (vals >= 100).any() and (vals < 100).any()
+
+
+FRAME_WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pid = int(sys.argv[1]); coord = sys.argv[2]; out_path = sys.argv[3]
+from homan_tpu.parallel import multihost
+from homan_tpu.parallel import frames as fpar
+multihost.initialize(coordinator_address=coord, num_processes=2,
+                     process_id=pid)
+assert jax.process_count() == 2
+assert jax.device_count() == 8, jax.device_count()  # 4 local x 2 processes
+
+from homan_tpu.frontend.gtsynth import make_synthetic_scene
+scene = make_synthetic_scene(seed=5, frame_nb=8, image_size=64, rend_size=32)
+mesh = fpar.make_frame_mesh(8)  # global mesh spanning both processes
+lw = {"lw_sil_obj": 1.0, "lw_v2d_hand": 50.0, "lw_smooth_obj": 1.0,
+      "lw_smooth_hand": 1.0, "lw_pca": 0.004, "lw_scale_obj": 0.001,
+      "lw_scale_hand": 0.001}
+final, hist = fpar.fit_frames_sharded(
+    scene.init_state, scene.consts, scene.cfg, mesh,
+    loss_weights=lw, num_iterations=3, roi_settings=scene.roi_settings)
+
+# Replicate the sharded outputs so each process can read the full value.
+rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+t_obj = np.asarray(rep(final.translations_object).addressable_data(0))
+loss = np.asarray(rep(hist["loss"]).addressable_data(0))
+with open(out_path, "w") as f:
+    json.dump({"pid": pid,
+               "t_obj": t_obj.ravel().tolist(),
+               "loss": loss.ravel().tolist()}, f)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_frame_sharded_fit(tmp_path):
+    """Sequence parallelism over a PROCESS-SPANNING mesh: 2 jax.distributed
+    processes x 4 local CPU devices fit one 8-frame clip with its frame axis
+    sharded over all 8 global devices, and must reproduce the single-process
+    unsharded fit."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    worker_py = tmp_path / "frame_worker.py"
+    worker_py.write_text(FRAME_WORKER)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd(),
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"frame_out{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py), str(pid), coord, str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-3000:]
+    payloads = [json.loads(o.read_text()) for o in outs]
+    # Both processes hold the same global result
+    np.testing.assert_allclose(payloads[0]["t_obj"], payloads[1]["t_obj"],
+                                rtol=1e-6)
+    np.testing.assert_allclose(payloads[0]["loss"], payloads[1]["loss"],
+                                rtol=1e-6)
+
+    # Single-process unsharded reference on the same scene
+    from homan_tpu.fit import joint
+    from homan_tpu.frontend.gtsynth import make_synthetic_scene
+    scene = make_synthetic_scene(seed=5, frame_nb=8, image_size=64,
+                                 rend_size=32)
+    lw = {"lw_sil_obj": 1.0, "lw_v2d_hand": 50.0, "lw_smooth_obj": 1.0,
+          "lw_smooth_hand": 1.0, "lw_pca": 0.004, "lw_scale_obj": 0.001,
+          "lw_scale_hand": 0.001}
+    single, hist1 = joint.optimize_hand_object(
+        scene.init_state, scene.consts, scene.cfg, loss_weights=lw,
+        num_iterations=3, roi_settings=scene.roi_settings)
+    np.testing.assert_allclose(
+        np.asarray(payloads[0]["loss"]),
+        np.asarray(hist1["loss"]).ravel(), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(payloads[0]["t_obj"]),
+        np.asarray(single.translations_object).ravel(), atol=1e-5)
