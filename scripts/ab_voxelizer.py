@@ -193,6 +193,11 @@ def _kernel_c(tri_ref, phi_ref, *, grid_size: int, n_tiles: int, big: float):
 
 def _run_variant(kern_fn, verts, faces, grid_size):
     g = grid_size
+    # Same divisibility contract as the shipped kernel
+    # (voxelize_interior_sdf_pallas:159): truncating nb or a misaligned
+    # column stride would produce silently wrong output, not an error.
+    assert (g ** 3) % PB == 0 and PB % g == 0, \
+        f"grid {g}: g^3 must divide into {PB}-pixel blocks of whole columns"
     tri_pack = pack_triangles(jnp.asarray(verts, jnp.float32), faces)
     B = tri_pack.shape[0]
     n_tiles = tri_pack.shape[2] // TF
@@ -244,6 +249,7 @@ def main():
         "C_column_bcast": lambda: run_c(verts, faces, grid_size=args.grid),
     }
     ref = None
+    ref_name = None
     for name, fn in variants.items():
         try:
             out = np.asarray(jax.block_until_ready(fn()))
@@ -251,14 +257,17 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {e}")
             continue
         if ref is None:
-            ref = out
-        exact = np.array_equal(out, ref)
+            ref, ref_name = out, name
+        # Exactness is only meaningful against the variant that actually
+        # became the baseline (A may have failed above).
+        exact = (f"bit_exact_vs_{ref_name.split('_')[0]}="
+                 f"{np.array_equal(out, ref)}")
         t0 = time.perf_counter()
         for _ in range(args.reps):
             r = fn()
         jax.block_until_ready(r)
         dt = (time.perf_counter() - t0) / args.reps
-        print(f"{name}: {dt * 1e3:8.3f} ms/call  bit_exact_vs_A={exact}")
+        print(f"{name}: {dt * 1e3:8.3f} ms/call  {exact}")
 
 
 if __name__ == "__main__":

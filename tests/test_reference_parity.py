@@ -89,13 +89,25 @@ def ref(tmp_path_factory):
                 (K.shape[0] if K is not None else 1, 5))
             self.near, self.far = 0.1, 100.0  # NMR Renderer defaults
             self.fixed_sil = None
+            # Live differentiable backend (torch-autograd bridge into our
+            # JAX rasterizer) for the converged-optimization parity tests;
+            # when unset, the static injected-silhouette path is used.
+            # Class-level default so renderers constructed INSIDE the code
+            # under test (HOMan.__init__ -> Losses.__init__) pick it up.
+            self.render_fn = None
+
+        default_render_fn = None
 
         def __call__(self, verts, faces, K=None, mode=None):
+            fn = self.render_fn or type(self).default_render_fn
+            if fn is not None:
+                return fn(verts, self.K if K is None else K)
             assert self.fixed_sil is not None, "inject fixed_sil first"
             return self.fixed_sil
 
     _module("neural_renderer", projection=_nr_projection,
-            renderer=types.SimpleNamespace(Renderer=_NrRenderer))
+            renderer=types.SimpleNamespace(Renderer=_NrRenderer),
+            Renderer=_NrRenderer)
 
     class _BoxMode:
         """detectron2 BoxMode with its two absolute modes; `convert`
@@ -221,6 +233,24 @@ def ref(tmp_path_factory):
         _module("libyana.lib3d.kcrop", get_K_crop_resize=_kcrop)
         import homan.lib2d.maskutils as ref_maskutils
 
+        # homan/homan.py + homan/jointopt.py (the real HOMan forward and the
+        # reference's actual Adam optimization chain, used by the converged
+        # -fit parity tests in test_jointopt_parity.py): trans3d.rot_points
+        # is viz-only (rotated top-down renders), np2vid writes videos,
+        # `mano.model.load` supplies the external MANO LBS layers — with
+        # optimize_mano=False (homan/homan.py:98-106, 341-358) the loaded
+        # layers are never forwarded, so an attribute-only stub suffices.
+        _module("libyana.lib3d.trans3d", rot_points=lambda x, *a, **k: x)
+        _module("libyana.vidutils")
+        _module("libyana.vidutils.np2vid",
+                make_video=lambda *a, **k: None)
+        _module("mano")
+        _module("mano.model",
+                load=lambda *a, **k: types.SimpleNamespace(
+                    hand_mean=torch.zeros(45)))
+        import homan.homan as ref_homan
+        import homan.jointopt as ref_jointopt
+
         # homan/eval/: py3drendutils never exercised; chamfer_distance
         # stubbed with its mathematical definition (the reference's own
         # comment at pointmetrics.py:20-28 documents the equivalence).
@@ -248,7 +278,8 @@ def ref(tmp_path_factory):
         chunkvids=ref_chunkvids, contactloss=ref_contactloss,
         lossutils=ref_lossutils, losses=ref_losses, mocap=ref_mocap,
         maskutils=ref_maskutils, ho3devalutils=ref_ho3devalutils,
-        pointmetrics=ref_pointmetrics, poseopt=ref_poseopt)
+        pointmetrics=ref_pointmetrics, poseopt=ref_poseopt,
+        homan=ref_homan, jointopt=ref_jointopt)
 
 
 def test_rot6d_matrix_parity(ref):
