@@ -407,40 +407,45 @@ def main(args):
         if state_override is not None:
             state = postprocess.state_from_dict(state_override)
 
-        # Edge-budget sanity: a contour edge dropped by the per-tile top-k
-        # corrupts winding regions silently; warn while there is margin.
-        # Runs on the CPU backend: it is a host diagnostic, and its two small
-        # programs cost ~40 s of remote-TPU relay compile if placed there.
-        try:
-            from homan_tpu.fit import model as M2
-            from homan_tpu.render.rasterizer import (RasterSettings,
-                                                     check_edge_budget)
-            from homan_tpu.viz.render_viz import _viz_device_ctx
-            # Fetch ONLY the object-pose leaves (a few KB): device_get of
-            # the whole consts pytree would pull every evidence mask off
-            # the device (tens of MB over the relay per sample).
-            rot_h, trans_h, scale_h, vog_h, faces_h, krois_h = \
-                jax.device_get((state.rotations_object,
-                                state.translations_object,
-                                state.int_scales_object,
-                                consts.verts_object_og,
-                                consts.faces_object,
-                                consts.camintr_rois_object))
-            with timers.time("edge_budget_check"), _viz_device_ctx():
-                vo, _ = M2.get_verts_object_parts_jit(rot_h, trans_h,
-                                                      scale_h, vog_h)
-                budget = check_edge_budget(vo, faces_h, krois_h,
-                                           RasterSettings(
-                                               image_size=args.rend_size))
-            if budget["utilization"] > 0.8:
-                logger.warning(
-                    "edge budget %d/%d (%.0f%%) at the initial pose — raise "
-                    "RasterSettings.edges_per_tile to avoid silhouette "
-                    "corruption if poses get closer/denser",
-                    budget["max_demand"], budget["capacity"],
-                    100 * budget["utilization"])
-        except Exception as exc:
-            logger.debug("edge-budget check skipped: %s", exc)
+        # Edge-budget auto-sizing: a contour edge dropped by the per-tile
+        # top-k corrupts winding REGIONS silently (94% wrong silhouette
+        # pixels measured on the hand mesh at ke=32), so the budget is
+        # sized to measured demand, never warned past. auto_edge_settings
+        # keeps the default settings when they cover demand (prewarmed
+        # executables stay valid) and buckets up only for denser meshes.
+        # Runs on the CPU backend: it is a host diagnostic, and its two
+        # small programs cost ~40 s of remote-TPU relay compile if placed
+        # there. A RuntimeError here (mesh too dense for the VMEM ceiling)
+        # must abort the fit — that is the point.
+        roi_settings = None  # None = compute_all_losses default settings
+        from homan_tpu.fit import model as M2
+        from homan_tpu.render.rasterizer import (RasterSettings,
+                                                 auto_edge_settings)
+        from homan_tpu.viz.render_viz import _viz_device_ctx
+        # Fetch ONLY the object-pose leaves (a few KB): device_get of
+        # the whole consts pytree would pull every evidence mask off
+        # the device (tens of MB over the relay per sample).
+        rot_h, trans_h, scale_h, vog_h, faces_h, krois_h = \
+            jax.device_get((state.rotations_object,
+                            state.translations_object,
+                            state.int_scales_object,
+                            consts.verts_object_og,
+                            consts.faces_object,
+                            consts.camintr_rois_object))
+        with timers.time("edge_budget_check"), _viz_device_ctx():
+            vo, _ = M2.get_verts_object_parts_jit(rot_h, trans_h,
+                                                  scale_h, vog_h)
+            default_settings = RasterSettings(image_size=args.rend_size)
+            sized = auto_edge_settings(vo, faces_h, krois_h,
+                                       default_settings)
+        if sized != default_settings:
+            logger.warning(
+                "edge budget auto-sized for this mesh: edges_per_tile "
+                "%d -> %d (tile_px %d -> %d); the stage-C prewarm for the "
+                "default settings is bypassed",
+                default_settings.edges_per_tile, sized.edges_per_tile,
+                default_settings.tile_px, sized.tile_px)
+            roi_settings = sized
 
         # Periodic optimization snapshots every viz_step iterations
         # (homan/jointopt.py:158-177 role); frames become an evolution video.
@@ -476,9 +481,24 @@ def main(args):
                 state, consts, cfg, loss_weights=loss_weights,
                 num_iterations=args.num_joint_iterations,
                 closed_hand_faces=closed_hand_faces,
+                roi_settings=roi_settings,
                 viz_step=args.viz_step if args.viz_step else None,
                 viz_callback=viz_callback if args.viz_step else None)
             hold["sync"] = final_state
+
+        # Runtime backstop for the setup-time auto-sizing: demand is
+        # re-measured by the renderer at EVERY iteration (losses.py
+        # edge_budget_excess metric); any positive excess means dropped
+        # contour edges somewhere mid-fit — the converged state cannot be
+        # trusted, so fail the sample loudly instead of saving it.
+        if "edge_budget_excess" in history:
+            excess = float(np.asarray(history["edge_budget_excess"]).max())
+            if excess > 0:
+                raise RuntimeError(
+                    f"edge budget overflowed by {int(excess)} mid-fit "
+                    "(pose moved past the sizing headroom); re-run with a "
+                    "larger RasterSettings.edges_per_tile or a decimated "
+                    "mesh — the converged silhouettes are corrupted")
 
         np.savez(check_path, **postprocess.state_to_dict(final_state))
 

@@ -105,13 +105,25 @@ def compute_v2d_loss_hand(verts_hand, camintr, ref_verts2d, image_size: int,
 
 def compute_sil_loss_object(verts_obj, faces_obj, camintr_rois, ref_mask,
                             keep_mask, settings: RasterSettings):
-    """Occlusion-aware silhouette L2 in the ROI (homan/losses.py:183-197)."""
-    rend = rasterize_soft(verts_obj, faces_obj, camintr_rois, settings)["sil"]
-    image = keep_mask * rend
+    """Occlusion-aware silhouette L2 in the ROI (homan/losses.py:183-197).
+
+    The edge_budget_excess metric is the runtime guard behind
+    rasterizer.auto_edge_settings: per-tile contour-edge demand beyond
+    edges_per_tile at ANY iteration means dropped contour edges — which
+    corrupt the winding region, not just the soft band — so callers
+    (cli/fit_video) hard-fail when the history shows excess > 0.
+    """
+    out = rasterize_soft(verts_obj, faces_obj, camintr_rois, settings)
+    image = keep_mask * out["sil"]
     l_m = ((image - ref_mask) ** 2).sum() / keep_mask.sum()
     loss = l_m / verts_obj.shape[0]
     iou = batch_mask_iou(image, ref_mask).mean()
-    return {"loss_sil_obj": loss}, {"iou_object": iou}
+    metrics = {"iou_object": iou}
+    if "edge_demand" in out:
+        metrics["edge_budget_excess"] = (
+            out["edge_demand"].max() - out["edge_capacity"]).astype(
+                jnp.float32)
+    return {"loss_sil_obj": loss}, metrics
 
 
 def compute_sil_loss_hand(verts_hand, faces_hand, camintr_rois, ref_mask,

@@ -230,15 +230,24 @@ def _tile_overlap(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray,
 
 
 def _bin_boxes(lo: jnp.ndarray, hi: jnp.ndarray, valid: jnp.ndarray,
-               s: RasterSettings, capacity: int, margin: float):
+               s: RasterSettings, capacity: int, margin: float,
+               with_demand: bool = False):
     """Select up to `capacity` candidates per tile by bbox-tile overlap.
 
     lo, hi: (N, 2) candidate bboxes (normalized coords); valid: (N,).
-    Returns idx (T, C) candidate indices, hit (T, C) slot validity.
+    Returns idx (T, C) candidate indices, hit (T, C) slot validity; with
+    with_demand, also the max per-tile candidate count BEFORE the top-k
+    truncation — demand > capacity means candidates were dropped (for
+    contour edges that corrupts the winding region, not just the soft
+    band, so it must be surfaced, never silent). The overlap matrix is
+    already materialized for the top-k; the row-sum is free.
     """
     overlap = _tile_overlap(lo, hi, valid, s, margin)
     c = min(capacity, lo.shape[0])
     score, idx = jax.lax.top_k(overlap.astype(jnp.float32), c)
+    if with_demand:
+        demand = overlap.sum(axis=1).max().astype(jnp.int32)
+        return idx, score > 0.5, demand
     return idx, score > 0.5
 
 
@@ -385,8 +394,9 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
             (x_int[None] > x_right[:, None, None]).astype(jnp.float32))
 
         seg = uv[topo.edges]
-        e_idx, e_hit = _bin_boxes(seg.min(1), seg.max(1), is_contour, s,
-                                  ke, margin=margin)
+        e_idx, e_hit, e_demand = _bin_boxes(seg.min(1), seg.max(1),
+                                            is_contour, s, ke, margin=margin,
+                                            with_demand=True)
         hitf = e_hit.astype(jnp.float32)
         s0 = jnp.where(e_hit[..., None], p0[e_idx], 99.0)  # (T, Ke, 2)
         s1 = jnp.where(e_hit[..., None], p1[e_idx], 99.0)
@@ -403,15 +413,15 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
         anchor_rows = anchors[tile_gx[:, None], rows]  # (T, tp)
         anchor_px = jnp.broadcast_to(anchor_rows[:, :, None],
                                      (g * g, tp, tp))
-        return seg_pack, anchor_px
+        return seg_pack, anchor_px, e_demand
 
-    seg_pack, anchor_px = jax.vmap(prep)(verts, K)
+    seg_pack, anchor_px, e_demand = jax.vmap(prep)(verts, K)
     static = (tp, S, g, s.sigma, cap2, ke)
     sil_tiles = shade_tiles_pallas(seg_pack, anchor_px, static)  # (B,T,tp,tp)
     B = verts.shape[0]
     sil = sil_tiles.reshape(B, g, g, tp, tp).transpose(0, 1, 3, 2, 4).reshape(
         B, S, S)
-    return {"sil": sil}
+    return {"sil": sil, "edge_demand": e_demand, "edge_capacity": ke}
 
 
 @partial(jax.jit, static_argnames=("settings", "with_depth"))
@@ -449,8 +459,9 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
             "se,gse->gs", contrib,
             (x_int[None] > x_right[:, None, None]).astype(jnp.float32))
 
-        e_idx, e_hit = _bin_boxes(seg.min(1), seg.max(1), is_contour, s,
-                                  s.edges_per_tile, margin=margin)
+        e_idx, e_hit, e_demand = _bin_boxes(seg.min(1), seg.max(1),
+                                            is_contour, s, s.edges_per_tile,
+                                            margin=margin, with_demand=True)
 
         tile_gx = (jnp.arange(g * g) % g)  # tile -> column index
 
@@ -502,7 +513,7 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
             x = x.reshape(g, g, tp, tp)
             return x.transpose(0, 2, 1, 3).reshape(S, S)
 
-        out = {"sil": untile(sil_t)}
+        out = {"sil": untile(sil_t), "edge_demand": e_demand}
         if with_depth:
             f_idx, f_hit = _bin_boxes(tri_uv.min(1), tri_uv.max(1), f_valid,
                                       s, s.faces_per_tile, margin=0.5 / S)
@@ -512,7 +523,9 @@ def _rasterize_soft(verts, topo: MeshTopology, K,
             out["depth"] = untile(depth_t)
         return out
 
-    return jax.vmap(render_one)(verts, K)
+    out = jax.vmap(render_one)(verts, K)
+    out["edge_capacity"] = min(s.edges_per_tile, topo.edges.shape[0])
+    return out
 
 
 def rasterize_depth(verts: jnp.ndarray,
@@ -802,3 +815,71 @@ def check_edge_budget(verts, topology, K,
         "overflow": demand > capacity,
         "utilization": demand / max(capacity, 1),
     }
+
+
+# Largest edges_per_tile whose fused Pallas shade kernel (fwd + analytic
+# VJP) compiles on v5e at 256^2, per tile_px — measured by
+# scripts/probe_edge_budget_ceiling.py (1280-face mesh, B=10, fwd+bwd):
+#   tile128: ke 96 ok / 128 FAIL (the 16.32M > 16M VMEM case, NOTES_ROUND4)
+#   tile64:  ke 192 ok / 256 FAIL
+#   tile32:  ke 512 ok (largest probed; per-step cost grows ~linearly in ke)
+# The kernel working set scales with tile_px^2 * ke (per-instance), so the
+# envelope is image-size-free.
+EDGE_BUDGET_VMEM_CEILING = {128: 96, 64: 192, 32: 512, 16: 512}
+
+EDGE_BUCKETS = (48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def auto_edge_settings(verts, topology, K,
+                       settings: RasterSettings = RasterSettings(),
+                       safety: float = 1.3,
+                       buckets=EDGE_BUCKETS) -> RasterSettings:
+    """Size edges_per_tile (and, if needed, tile_px) to the measured demand.
+
+    Measures per-tile contour-edge demand at the given poses
+    (check_edge_budget — the exact binning predicate the renderer runs) and
+    returns `settings` with edges_per_tile = the smallest bucket covering
+    demand * safety. If even the largest VMEM-feasible bucket for this
+    tile_px cannot cover it, halves tile_px (smaller tiles intersect fewer
+    contour edges each) and re-measures; raises RuntimeError when tile_px=16
+    still overflows — proceeding would converge to garbage (a dropped
+    contour edge corrupts the winding REGION: measured 94% wrong silhouette
+    pixels on the 1552-face hand at ke=32), so this must never be a warning.
+
+    The safety factor covers pose motion during the fit: demand is measured
+    at the INITIAL poses, and optimization brings the object closer /
+    rotates denser contour regions into view. compute_sil_loss_object
+    additionally reports the live per-iteration excess as the
+    `edge_budget_excess` history metric — the backstop for fits whose
+    motion exceeds the headroom.
+
+    NMR parity note: the reference's CUDA rasterizer (homan/losses.py:73)
+    has no such cliff — it loops all faces per pixel — so this auto-sizing
+    is what keeps the TPU tiling an implementation detail rather than a
+    semantic difference.
+    """
+    import dataclasses
+
+    s = settings
+    topo = as_topology(topology)
+    n_edges = int(topo.edges.shape[0])
+    while True:
+        demand = check_edge_budget(verts, topo, K, s)["max_demand"]
+        need = min(int(np.ceil(demand * safety)), n_edges)
+        if min(s.edges_per_tile, n_edges) >= need:
+            # Current settings already cover demand+headroom: keep them
+            # unchanged so prewarmed executables (keyed on the settings
+            # static) stay valid — never shrink below the configured value.
+            return s
+        ceiling = EDGE_BUDGET_VMEM_CEILING.get(s.tile_px, buckets[0])
+        feasible = [b for b in buckets if b >= need and b <= ceiling]
+        if feasible:
+            return dataclasses.replace(s, edges_per_tile=feasible[0])
+        if s.tile_px <= 16 or s.tile_px // 2 > s.image_size:
+            raise RuntimeError(
+                f"edge budget unsatisfiable: demand {demand} (need {need} "
+                f"with {safety}x headroom) exceeds the VMEM ceiling "
+                f"{ceiling} at tile_px={s.tile_px}; the mesh is too dense "
+                f"for exact contour binning at image_size={s.image_size} — "
+                f"decimate the mesh (cli/process_meshes) or lower rend_size")
+        s = dataclasses.replace(s, tile_px=s.tile_px // 2)
