@@ -148,6 +148,65 @@ def test_parallel_frames_mode_matches_quality():
 
 
 @pytest.mark.slow
+def test_parallel_frames_quality_floor_rotating_object():
+    """VERDICT r3 weak #4: pin the documented parallel_frames tradeoff.
+
+    A 90-degree-rotating object is the adversarial case for the parallel
+    branch: frames 1..T-1 init from frame 0's best pose with NO chaining
+    (poseinit.py parallel path), so the last frames start up to 90 degrees
+    off. The floor asserted here: mean best-IoU of the parallel branch
+    >= 0.9x the chained branch's (same candidates, same budget). Sized for
+    the CPU suite: 6 frames (18-degree steps — larger than any chained
+    step the 10-frame clip would see) x 32 candidates x 20 iters; the
+    chained-vs-parallel contrast, not absolute quality, is the subject.
+    """
+    v, f = bumpy_potato(2, 0.09, seed=3)
+    topo = MeshTopology.from_faces(f)
+    verts = jnp.asarray(v)
+    S, img, T = 64, 128, 6
+    K_px = np.array([[img * 0.9, 0, img / 2], [0, img * 0.9, img / 2],
+                     [0, 0, 1]], np.float32)
+    settings = RasterSettings(image_size=S, tile_px=16, faces_per_tile=384,
+                              edges_per_tile=192)
+    annotations = []
+    for i in range(T):
+        ang = (np.pi / 2) * i / (T - 1)  # 0 -> 90 degrees about y
+        Ry = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        t = np.array([0.02 + 0.001 * i, -0.01, 0.55], np.float32)
+        verts_t = verts @ jnp.asarray(Ry.T) + jnp.asarray(t)
+        proj = np.asarray(cam.batch_proj2d(verts_t[None],
+                                           jnp.asarray(K_px)[None]))[0]
+        lo, hi = proj.min(0), proj.max(0)
+        bbox = np.array([lo[0], lo[1], hi[0] - lo[0], hi[1] - lo[1]])
+        b = max(bbox[2], bbox[3]) * 1.3
+        sq = np.array([bbox[0] + bbox[2] / 2 - b / 2,
+                       bbox[1] + bbox[3] / 2 - b / 2, b, b], np.float32)
+        K_roi = cam.normalize_K(cam.get_K_crop_resize(
+            jnp.asarray(K_px)[None],
+            jnp.asarray([[sq[0], sq[1], sq[0] + b, sq[1] + b]]), S)[0], S)
+        sil = rasterize_soft(verts_t[None], topo, K_roi[None],
+                             settings)["sil"][0]
+        annotations.append({
+            "target_crop_mask": (np.asarray(sil) > 0.5).astype(np.float32),
+            "bbox": bbox, "square_bbox": sq, "full_mask": None})
+
+    kwargs = dict(num_initializations=32, num_iterations=20, rend_size=S,
+                  settings=settings, seed=0)
+    res_chain = poseinit.find_optimal_poses(
+        verts, topo, annotations, [K_px] * T, (img, img),
+        parallel_frames=False, **kwargs)
+    res_par = poseinit.find_optimal_poses(
+        verts, topo, annotations, [K_px] * T, (img, img),
+        parallel_frames=True, **kwargs)
+    iou_chain = float(np.mean([r["best_iou"] for r in res_chain]))
+    iou_par = float(np.mean([r["best_iou"] for r in res_par]))
+    assert iou_par >= 0.9 * iou_chain, (iou_par, iou_chain)
+    # and the chained branch itself must be good on this clip
+    assert iou_chain > 0.75, iou_chain
+
+
+@pytest.mark.slow
 def test_lowres_refine_with_fullres_rescore_matches_exact():
     """refine_scale=0.5 + full-res rescoring selects a candidate whose IoU is
     on par with the exact full-res schedule (the TPU-tuned default)."""
