@@ -92,6 +92,14 @@ class MeshTopology:
     # True where edges[e] = (u, v) appears as u->v in faces[edge_faces[e, 0]]'s
     # cyclic order; orients contour edges for winding-number coverage.
     edge_dir_f1: jnp.ndarray  # (E,) bool
+    # Transposed edge incidence: for each vertex, the positions of its
+    # occurrences in edges.reshape(-1), padded with 2E (a sentinel zero row
+    # in the cotangent). Lets the uv[edges] gather run its backward as a
+    # (V, deg) gather + sum instead of XLA's transpose scatter-add, which
+    # serializes on TPU (~0.1 ms/iter at headline shapes, ab_prep.py).
+    # None (hand-built topologies, e.g. edge-bucket padding in tests) falls
+    # back to the plain gather with the scatter-add backward.
+    vert_edge_slots: jnp.ndarray | None = None  # (Vmax, max_degree) int32
 
     @classmethod
     def from_faces(cls, faces) -> "MeshTopology":
@@ -150,12 +158,58 @@ class MeshTopology:
             edges = np.zeros((1, 2), np.int64)
             adj = np.full((1, 2), -1, np.int64)
             dir_f1 = np.zeros(1, bool)
+        # Transposed incidence (vectorized; see vert_edge_slots docstring).
+        flat = edges.reshape(-1)
+        n_vt = int(flat.max()) + 1
+        order = np.argsort(flat, kind="stable")
+        counts = np.bincount(flat, minlength=n_vt)
+        deg = max(1, int(counts.max()))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(len(flat)) - starts[flat[order]]
+        slots = np.full((n_vt, deg), len(flat), np.int64)
+        slots[flat[order], rank] = order
         return cls(
             faces=jnp.asarray(f, jnp.int32),
             edges=jnp.asarray(edges, jnp.int32),
             edge_faces=jnp.asarray(adj, jnp.int32),
             edge_dir_f1=jnp.asarray(dir_f1),
+            vert_edge_slots=jnp.asarray(slots, jnp.int32),
         )
+
+
+@jax.custom_vjp
+def _gather_rows(u, edges, slots):
+    """u[edges] with a transpose-gather backward.
+
+    XLA transposes a gather into scatter-add, which serializes on TPU. The
+    topology is static, so the inverse map is precomputable
+    (MeshTopology.vert_edge_slots) and the backward becomes gather + sum —
+    measured ~0.1 ms/iter cheaper at headline shapes (scripts/ab_prep.py).
+    Forward is bit-identical to u[edges]; the backward's summation order
+    within a vertex differs from the scatter's, so cotangents agree to
+    float roundoff (exactly, for the common degree-disjoint case).
+    """
+    return u[edges]
+
+
+def _gather_rows_fwd(u, edges, slots):
+    return u[edges], (u, edges, slots)
+
+
+def _gather_rows_bwd(res, ct):
+    u, edges, slots = res
+    c = ct.shape[-1]
+    flat = ct.reshape(-1, c)  # row-major (E*2, C) matches edges.reshape(-1)
+    flat = jnp.concatenate([flat, jnp.zeros((1, c), ct.dtype)], axis=0)
+    gu = flat[slots].sum(axis=1)  # (n_vt, C)
+    pad = u.shape[0] - gu.shape[0]
+    if pad:
+        gu = jnp.concatenate([gu, jnp.zeros((pad, c), ct.dtype)], axis=0)
+    f0 = jax.dtypes.float0
+    return gu, np.zeros(edges.shape, f0), np.zeros(slots.shape, f0)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def as_topology(faces_or_topo) -> MeshTopology:
@@ -348,7 +402,10 @@ def _contour_data(uv, z, topo: MeshTopology, s: RasterSettings):
     o2 = front_pad[jnp.where(ef[:, 1] >= 0, ef[:, 1], front.shape[0])]
     e_z_ok = (z[topo.edges] > s.znear).all(-1)
     is_contour = (o1 != o2) & e_z_ok & ((o1 != 0) | (o2 != 0))
-    seg = uv[topo.edges]
+    if topo.vert_edge_slots is None:
+        seg = uv[topo.edges]
+    else:
+        seg = _gather_rows(uv, topo.edges, topo.vert_edge_slots)
     flip = jnp.where(topo.edge_dir_f1, 1.0, -1.0) * jnp.where(o1 > 0, 1.0,
                                                               -1.0)
     p0 = seg[:, 0]
@@ -357,14 +414,13 @@ def _contour_data(uv, z, topo: MeshTopology, s: RasterSettings):
     return p0, p1, cross_sign, is_contour, flip, tri_uv, tri_z, f_valid
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
-                           settings: RasterSettings):
-    # Module-level jit: standalone callers (evidence mask renders, viz) would
-    # otherwise run the prep eagerly op-by-op — seconds per call on a
-    # remote/tunneled TPU. Inside an outer jit this inlines as before.
-    from homan_tpu.render.pallas_shade import shade_tiles_pallas
+def _pallas_prep(verts, topo: MeshTopology, K, settings: RasterSettings):
+    """Packed per-tile kernel inputs for the Pallas shade path.
 
+    Returns (seg_pack (B,T,8,Ke), anchor_px (B,T,tp,tp), e_demand (B,T),
+    static tuple) — exposed so scripts/ab_shade.py can benchmark kernel
+    variants on exactly the inputs the fit produces.
+    """
     s = settings
     S, tp = s.image_size, s.tile_px
     assert S % tp == 0, "image_size must be a multiple of tile_px"
@@ -380,8 +436,11 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
         p0, p1, cross_sign, is_contour, flip, _, _, _ = _contour_data(
             uv, z, topo, s)
 
-        # Anchors at tile-column right boundaries, all contour edges.
-        x_right = (jnp.arange(g, dtype=jnp.float32) + 1.0) * tp / S
+        # Anchors at tile-column right boundaries, all contour edges. One
+        # fused (S, E) -> (S,) reduction per tile column (g is tiny, the
+        # static loop unrolls); an einsum over a broadcast (g, S, E) mask
+        # materializes ~4 (S, E) f32 intermediates per frame and was
+        # bandwidth-bound (scripts/ab_prep.py P2, 2026-08-19).
         y0 = p0[:, 1][None, :]
         y1 = p1[:, 1][None, :]
         py = ys_all[:, None]
@@ -389,24 +448,39 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
         t = (py - y0) / jnp.where(jnp.abs(y1 - y0) > 1e-12, y1 - y0, 1.0)
         x_int = p0[:, 0][None, :] + t * (p1[:, 0] - p0[:, 0])[None, :]
         contrib = jnp.where(spans, cross_sign[None, :], 0.0)
-        anchors = jnp.einsum(
-            "se,gse->gs", contrib,
-            (x_int[None] > x_right[:, None, None]).astype(jnp.float32))
+        anchors = jnp.stack([
+            jnp.sum(jnp.where(x_int > (gc + 1.0) * tp / S, contrib, 0.0),
+                    axis=1) for gc in range(g)])  # (g, S)
 
-        seg = uv[topo.edges]
-        e_idx, e_hit, e_demand = _bin_boxes(seg.min(1), seg.max(1),
-                                            is_contour, s, ke, margin=margin,
-                                            with_demand=True)
-        hitf = e_hit.astype(jnp.float32)
-        s0 = jnp.where(e_hit[..., None], p0[e_idx], 99.0)  # (T, Ke, 2)
-        s1 = jnp.where(e_hit[..., None], p1[e_idx], 99.0)
-        sgn = cross_sign[e_idx] * hitf
-        # row 6: true edge orientation (winding jump across the edge) —
-        # sign(dy)-free so exactly-horizontal contour edges resolve too
-        flip_pack = flip[e_idx] * is_contour[e_idx] * hitf
+        overlap = _tile_overlap(jnp.minimum(p0, p1), jnp.maximum(p0, p1),
+                                is_contour, s, margin)  # (T, E) bool
+        e_demand = overlap.sum(axis=1).max().astype(jnp.int32)
+        # Select + gather as ONE one-hot MXU matmul. The binning scores are
+        # binary, so lax.top_k (lowest-index tie order) == "the first ke
+        # overlapping edges per tile"; that selection is a cumsum-ranked
+        # one-hot (T, ke, E), and contracting it against the per-edge value
+        # columns IS the gather — bit-exact (one-hot f32 dot adds exact 0s)
+        # and its transpose-matmul backward replaces the serialized TPU
+        # scatter-adds that made the old top_k+gather prep cost as much as
+        # the shade kernel itself (scripts/ab_prep.py, 2026-08-19).
+        csum = jnp.cumsum(overlap.astype(jnp.int32), axis=-1)
+        ranks = jnp.arange(1, ke + 1, dtype=jnp.int32)
+        sel = (overlap[:, None, :]
+               & (csum[:, None, :] == ranks[None, :, None])).astype(
+                   jnp.float32)  # (T, ke, E)
+        hitf = sel.sum(-1)  # (T, ke) — 1.0 where the slot is filled
+        # row 6 source: true edge orientation (winding jump across the
+        # directed edge) — sign(dy)-free so exactly-horizontal contour
+        # edges resolve too
+        cols = jnp.stack([p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1],
+                          cross_sign, flip * is_contour], axis=-1)  # (E, 6)
+        packed = jnp.einsum("tke,ec->tck", sel, cols,
+                            precision=jax.lax.Precision.HIGHEST)  # (T,6,ke)
+        far = 99.0 * (1.0 - hitf)  # empty slots sit far outside the image
         seg_pack = jnp.stack(
-            [s0[..., 0], s0[..., 1], s1[..., 0], s1[..., 1], sgn, hitf,
-             flip_pack, jnp.zeros_like(sgn)], axis=-2)  # (T, 8, Ke)
+            [packed[:, 0] + far, packed[:, 1] + far, packed[:, 2] + far,
+             packed[:, 3] + far, packed[:, 4], hitf, packed[:, 5],
+             jnp.zeros_like(hitf)], axis=-2)  # (T, 8, Ke)
 
         tile_gx = jnp.arange(g * g) % g
         rows = (jnp.arange(g * g) // g)[:, None] * tp + jnp.arange(tp)[None]
@@ -417,11 +491,26 @@ def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
 
     seg_pack, anchor_px, e_demand = jax.vmap(prep)(verts, K)
     static = (tp, S, g, s.sigma, cap2, ke)
+    return seg_pack, anchor_px, e_demand, static
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _rasterize_soft_pallas(verts, topo: MeshTopology, K,
+                           settings: RasterSettings):
+    # Module-level jit: standalone callers (evidence mask renders, viz) would
+    # otherwise run the prep eagerly op-by-op — seconds per call on a
+    # remote/tunneled TPU. Inside an outer jit this inlines as before.
+    from homan_tpu.render.pallas_shade import shade_tiles_pallas
+
+    s = settings
+    S, tp = s.image_size, s.tile_px
+    g = S // tp
+    seg_pack, anchor_px, e_demand, static = _pallas_prep(verts, topo, K, s)
     sil_tiles = shade_tiles_pallas(seg_pack, anchor_px, static)  # (B,T,tp,tp)
     B = verts.shape[0]
     sil = sil_tiles.reshape(B, g, g, tp, tp).transpose(0, 1, 3, 2, 4).reshape(
         B, S, S)
-    return {"sil": sil, "edge_demand": e_demand, "edge_capacity": ke}
+    return {"sil": sil, "edge_demand": e_demand, "edge_capacity": static[5]}
 
 
 @partial(jax.jit, static_argnames=("settings", "with_depth"))

@@ -403,3 +403,63 @@ def test_topology_vectorized_matches_loop_oracle():
                                       err_msg=name)
         np.testing.assert_array_equal(np.asarray(topo.edge_dir_f1), dir_f1,
                                       err_msg=name)
+
+
+def test_gather_rows_transpose_backward_matches_scatter():
+    """_gather_rows (transpose-gather VJP) == plain-gather scatter VJP.
+
+    Forward must be bit-identical; the backward's per-vertex summation
+    order differs from XLA's scatter-add, so cotangents match to float
+    tolerance. Covers open meshes (boundary edges) and the degenerate
+    single-edge topology, plus vmap (the renderer applies it per frame).
+    """
+    from homan_tpu.core.mano import ManoLayer
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.render.rasterizer import MeshTopology, _gather_rows
+
+    layer = ManoLayer.synthetic(0)
+    cases = [
+        bumpy_potato(2, 0.1, seed=3)[1],
+        np.asarray(layer.faces("right")),
+        np.zeros((4, 3), np.int64),  # all-degenerate: 1 placeholder edge
+    ]
+    for faces in cases:
+        topo = MeshTopology._build_from_faces(np.asarray(faces, np.int64))
+        n_v = max(int(np.asarray(faces).max()) + 1, 4)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal((n_v, 2)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal(
+            (topo.edges.shape[0], 2, 2)).astype(np.float32))
+
+        def loss_fast(x):
+            return jnp.sum(_gather_rows(x, topo.edges,
+                                        topo.vert_edge_slots) * w)
+
+        def loss_ref(x):
+            return jnp.sum(x[topo.edges] * w)
+
+        f_fast, g_fast = jax.value_and_grad(loss_fast)(u)
+        f_ref, g_ref = jax.value_and_grad(loss_ref)(u)
+        assert float(f_fast) == float(f_ref)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    # vmap over a batch axis, jitted (the renderer's usage shape)
+    topo = MeshTopology._build_from_faces(
+        np.asarray(bumpy_potato(2, 0.1, seed=3)[1], np.int64))
+    rng = np.random.default_rng(1)
+    ub = jnp.asarray(rng.standard_normal((5, 163, 2)).astype(np.float32))
+    wb = jnp.asarray(rng.standard_normal(
+        (5, topo.edges.shape[0], 2, 2)).astype(np.float32))
+
+    def batch_loss(gather):
+        def one(x, ww):
+            return jnp.sum(gather(x) * ww)
+        return jnp.sum(jax.vmap(one)(ub, wb))
+
+    g_fast = jax.jit(jax.grad(lambda q: batch_loss(
+        lambda x: _gather_rows(x + q, topo.edges,
+                               topo.vert_edge_slots))))(jnp.float32(0))
+    g_ref = jax.jit(jax.grad(lambda q: batch_loss(
+        lambda x: (x + q)[topo.edges])))(jnp.float32(0))
+    np.testing.assert_allclose(float(g_fast), float(g_ref), rtol=1e-5)
