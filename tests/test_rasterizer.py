@@ -463,3 +463,61 @@ def test_gather_rows_transpose_backward_matches_scatter():
     g_ref = jax.jit(jax.grad(lambda q: batch_loss(
         lambda x: (x + q)[topo.edges])))(jnp.float32(0))
     np.testing.assert_allclose(float(g_fast), float(g_ref), rtol=1e-5)
+
+
+def test_pallas_vs_xla_fuzz_random_scenes():
+    """Property test: the Pallas prep+kernels (interpret mode on CPU) match
+    the XLA formulation across random meshes, poses, intrinsics, tile
+    sizes, and edge budgets — coverage (sil > 0.5) identical, soft values
+    to 1e-4 (argmin ties between near-equidistant contour edges can
+    resolve differently between the two independent formulations; the
+    1e-12 d^2 difference is amplified by /sigma to ~3e-8 in the output),
+    vertex gradients allclose. Pins the one-hot MXU binning / fused
+    anchors / transpose-gather prep rework against the independent XLA
+    path; a winding/binning regression shows up as O(1) region errors.
+    """
+    import dataclasses
+
+    from homan_tpu.core.meshes import bumpy_potato, icosphere
+    from homan_tpu.render.rasterizer import MeshTopology
+
+    rng = np.random.default_rng(7)
+    cases = [
+        # (mesh, image_size, tile_px, edges_per_tile)
+        (bumpy_potato(2, 0.15, seed=1), 64, 16, 32),
+        (bumpy_potato(3, 0.05, seed=2), 128, 64, 48),
+        (icosphere(1, 1.0), 64, 32, 16),
+        (bumpy_potato(2, 0.3, seed=3), 96, 32, 64),
+    ]
+    for (v, f), S, tp, ke in cases:
+        topo = MeshTopology.from_faces(np.asarray(f))
+        B = 3
+        scale = rng.uniform(0.2, 0.5)
+        offs = rng.uniform(-0.15, 0.15, (B, 1, 3)).astype(np.float32)
+        z = rng.uniform(0.8, 1.6)
+        verts = jnp.asarray(scale * np.asarray(v)[None]
+                            + np.array([0, 0, z], np.float32) + offs)
+        fx = rng.uniform(0.7, 1.3)
+        cx, cy = rng.uniform(0.35, 0.65, 2)
+        K = jnp.tile(jnp.asarray([[fx, 0, cx], [0, fx, cy], [0, 0, 1.0]],
+                                 jnp.float32)[None], (B, 1, 1))
+        base = RasterSettings(image_size=S, tile_px=tp, edges_per_tile=ke)
+        outs, grads = {}, {}
+        for up in (False, True):
+            s = dataclasses.replace(base, use_pallas=up)
+
+            def loss(vv, _s=s):
+                return jnp.sum(rasterize_soft(vv, topo, K, _s)["sil"] ** 2)
+
+            sil = rasterize_soft(verts, topo, K, s)["sil"]
+            outs[up] = np.asarray(sil)
+            grads[up] = np.asarray(jax.grad(loss)(verts))
+        tag = f"S={S} tp={tp} ke={ke} F={f.shape[0]}"
+        np.testing.assert_array_equal(outs[True] > 0.5, outs[False] > 0.5,
+                                      err_msg=tag)
+        np.testing.assert_allclose(outs[True], outs[False], atol=1e-4,
+                                   err_msg=tag)
+        scale_g = max(np.abs(grads[False]).max(), 1e-9)
+        np.testing.assert_allclose(grads[True] / scale_g,
+                                   grads[False] / scale_g,
+                                   atol=2e-5, err_msg=tag)
