@@ -100,6 +100,9 @@ class MeshTopology:
     # None (hand-built topologies, e.g. edge-bucket padding in tests) falls
     # back to the plain gather with the scatter-add backward.
     vert_edge_slots: jnp.ndarray | None = None  # (Vmax, max_degree) int32
+    # Same transposed incidence for faces.reshape(-1) (the uv[faces] /
+    # z[faces] gathers of the depth prep).
+    vert_face_slots: jnp.ndarray | None = None  # (Vmax, max_face_deg) int32
 
     @classmethod
     def from_faces(cls, faces) -> "MeshTopology":
@@ -158,23 +161,33 @@ class MeshTopology:
             edges = np.zeros((1, 2), np.int64)
             adj = np.full((1, 2), -1, np.int64)
             dir_f1 = np.zeros(1, bool)
-        # Transposed incidence (vectorized; see vert_edge_slots docstring).
-        flat = edges.reshape(-1)
-        n_vt = int(flat.max()) + 1
-        order = np.argsort(flat, kind="stable")
-        counts = np.bincount(flat, minlength=n_vt)
-        deg = max(1, int(counts.max()))
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        rank = np.arange(len(flat)) - starts[flat[order]]
-        slots = np.full((n_vt, deg), len(flat), np.int64)
-        slots[flat[order], rank] = order
         return cls(
             faces=jnp.asarray(f, jnp.int32),
             edges=jnp.asarray(edges, jnp.int32),
             edge_faces=jnp.asarray(adj, jnp.int32),
             edge_dir_f1=jnp.asarray(dir_f1),
-            vert_edge_slots=jnp.asarray(slots, jnp.int32),
+            vert_edge_slots=jnp.asarray(_inverse_slots(edges.reshape(-1)),
+                                        jnp.int32),
+            vert_face_slots=jnp.asarray(_inverse_slots(f.reshape(-1)),
+                                        jnp.int32),
         )
+
+
+def _inverse_slots(flat: np.ndarray) -> np.ndarray:
+    """Transposed incidence of an int index vector (vectorized host build).
+
+    Returns (max(flat)+1, max_multiplicity) positions of each value's
+    occurrences in `flat`, padded with len(flat) — the sentinel row index
+    of a zero-padded cotangent (see _gather_rows)."""
+    n_vt = int(flat.max()) + 1 if flat.size else 1
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat, minlength=n_vt)
+    deg = max(1, int(counts.max()))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(flat)) - starts[flat[order]]
+    slots = np.full((n_vt, deg), len(flat), np.int64)
+    slots[flat[order], rank] = order
+    return slots
 
 
 @jax.custom_vjp
@@ -661,8 +674,13 @@ def _rasterize_depth_pallas(verts, topo: MeshTopology, K,
     def prep(v, k):
         uv, z = project_ndc(v[None], k[None])
         uv, z = uv[0], z[0]
-        tri_uv = uv[topo.faces]  # (F, 3, 2)
-        tri_z = z[topo.faces]
+        if topo.vert_face_slots is None:
+            tri_uv = uv[topo.faces]  # (F, 3, 2)
+            tri_z = z[topo.faces]
+        else:  # transpose-gather backward (no TPU scatter), see _gather_rows
+            tri_uv = _gather_rows(uv, topo.faces, topo.vert_face_slots)
+            tri_z = _gather_rows(z[:, None], topo.faces,
+                                 topo.vert_face_slots)[..., 0]
         area = _edge_fn(tri_uv[:, 0, :], tri_uv[:, 1, :], tri_uv[:, 2, :])
         f_valid = (tri_z > s.znear).all(-1) & (jnp.abs(area) > 1e-12)
         f_idx, f_hit = _bin_boxes(tri_uv.min(1), tri_uv.max(1), f_valid,

@@ -431,18 +431,25 @@ def test_gather_rows_transpose_backward_matches_scatter():
         w = jnp.asarray(rng.standard_normal(
             (topo.edges.shape[0], 2, 2)).astype(np.float32))
 
+        wf = jnp.asarray(rng.standard_normal(
+            (np.asarray(faces).shape[0], 3, 2)).astype(np.float32))
+
         def loss_fast(x):
-            return jnp.sum(_gather_rows(x, topo.edges,
-                                        topo.vert_edge_slots) * w)
+            return (jnp.sum(_gather_rows(x, topo.edges,
+                                         topo.vert_edge_slots) * w)
+                    + jnp.sum(_gather_rows(x, topo.faces,
+                                           topo.vert_face_slots) * wf))
 
         def loss_ref(x):
-            return jnp.sum(x[topo.edges] * w)
+            return jnp.sum(x[topo.edges] * w) + jnp.sum(x[topo.faces] * wf)
 
         f_fast, g_fast = jax.value_and_grad(loss_fast)(u)
         f_ref, g_ref = jax.value_and_grad(loss_ref)(u)
         assert float(f_fast) == float(f_ref)
+        # atol: the synthetic hand topology has a degree-97 hub vertex;
+        # the per-vertex sum reassociation shifts its cotangent ~5e-6.
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-5, atol=2e-5)
 
     # vmap over a batch axis, jitted (the renderer's usage shape)
     topo = MeshTopology._build_from_faces(
