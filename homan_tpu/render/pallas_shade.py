@@ -75,7 +75,10 @@ def _pixel_grids(tile_px: int):
     return ix.astype(jnp.float32), iy.astype(jnp.float32)
 
 
-def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, *res_refs,
+_EDGE_CHUNK = 16  # edge slots per conditionally-executed chunk
+
+
+def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, *rest,
                       tile_px: int, image_size: int, g: int, sigma: float,
                       cap2: float, ke: int, want_residuals: bool = True):
     t = pl.program_id(1)
@@ -87,22 +90,45 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, *res_refs,
     py = (gy * tile_px + iy + 0.5) * inv_s
     x1 = (gx + 1.0) * tile_px * inv_s
 
+    if want_residuals:
+        amin_ref, rx_ref, ry_ref, tc_ref = rest[:4]
+        scratch = rest[4:]
+    else:
+        scratch = rest
+    wind_scr, d2_scr = scratch[:2]
+
     seg = seg_ref[0, 0]  # (8, ke) resident block: one load, not 11*ke
+    # Edge slots are a contiguous hit prefix (the binning selection packs
+    # them first), so chunks of the unrolled edge loops run under pl.when
+    # (n_e > chunk start): per-INSTANCE adaptive — a stage-B candidate tile
+    # using 12 of the 48-slot budget runs 1 chunk, not 3. Skipped chunks
+    # are bit-identical no-ops (invalid slots add 0.0 winding and sit 99
+    # units away, losing every distance compare).
+    n_e = jnp.sum(seg[5, :]).astype(jnp.int32)
+
     # Pass 1: winding (needs ALL edges before relevance can be decided).
-    winding = anchor_ref[0, 0]
-    for k in range(ke):
-        ax = seg[0, k]
-        ay = seg[1, k]
-        bx = seg[2, k]
-        by = seg[3, k]
-        sgn = seg[4, k]
-        dy = by - ay
-        dy_safe = jnp.where(jnp.abs(dy) > 1e-12, dy, 1.0)
-        spans = (ay <= py) != (by <= py)
-        tt = (py - ay) / dy_safe
-        xi = ax + tt * (bx - ax)
-        cross = spans & (xi > px) & (xi <= x1)
-        winding = winding + jnp.where(cross, sgn, 0.0)
+    wind_scr[...] = anchor_ref[0, 0]
+    for lo in range(0, ke, _EDGE_CHUNK):
+
+        @pl.when(n_e > lo)
+        def _wind_chunk(lo=lo):
+            winding = wind_scr[...]
+            for k in range(lo, min(lo + _EDGE_CHUNK, ke)):
+                ax = seg[0, k]
+                ay = seg[1, k]
+                bx = seg[2, k]
+                by = seg[3, k]
+                sgn = seg[4, k]
+                dy = by - ay
+                dy_safe = jnp.where(jnp.abs(dy) > 1e-12, dy, 1.0)
+                spans = (ay <= py) != (by <= py)
+                tt = (py - ay) / dy_safe
+                xi = ax + tt * (bx - ax)
+                cross = spans & (xi > px) & (xi <= x1)
+                winding = winding + jnp.where(cross, sgn, 0.0)
+            wind_scr[...] = winding
+
+    winding = wind_scr[...]
     covered = jnp.abs(winding) > 0.5
 
     # Pass 2: distance to the nearest SILHOUETTE-RELEVANT edge. For covered
@@ -115,46 +141,64 @@ def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, *res_refs,
     # written out: the backward pass then needs NO per-edge recomputation —
     # it becomes per-pixel elementwise math + a one-hot matmul (see
     # _shade_bwd_vjp).
-    d2min = jnp.full(pix_shape(tile_px), cap2, jnp.float32)
-    if want_residuals:  # 4 extra live carry arrays, only for grad callers
-        amin = jnp.full(pix_shape(tile_px), -1, jnp.int32)
-        rxm = jnp.zeros(pix_shape(tile_px), jnp.float32)
-        rym = jnp.zeros(pix_shape(tile_px), jnp.float32)
-        tcm = jnp.zeros(pix_shape(tile_px), jnp.float32)
-    for k in range(ke):
-        ax = seg[0, k]
-        ay = seg[1, k]
-        bx = seg[2, k]
-        by = seg[3, k]
-        flipk = seg[6, k]
-        ex = bx - ax
-        ey = by - ay
-        denom = jnp.maximum(ex * ex + ey * ey, 1e-12)
-        tc = jnp.clip(((px - ax) * ex + (py - ay) * ey) / denom, 0.0, 1.0)
-        dx = px - (ax + tc * ex)
-        dyp = py - (ay + tc * ey)
-        d2 = dx * dx + dyp * dyp
+    d2_scr[...] = jnp.full(pix_shape(tile_px), cap2, jnp.float32)
+    if want_residuals:  # 4 extra carry scratches, only for grad callers
+        am_scr, rx_scr, ry_scr, tc_scr = scratch[2:]
+        am_scr[...] = jnp.full(pix_shape(tile_px), -1, jnp.int32)
+        rx_scr[...] = jnp.zeros(pix_shape(tile_px), jnp.float32)
+        ry_scr[...] = jnp.zeros(pix_shape(tile_px), jnp.float32)
+        tc_scr[...] = jnp.zeros(pix_shape(tile_px), jnp.float32)
+    for lo in range(0, ke, _EDGE_CHUNK):
 
-        cross2d = ex * (py - ay) - ey * (px - ax)
-        w_other = winding - flipk * jnp.sign(cross2d)
-        rel = (jnp.abs(w_other) < 0.5) | (cross2d == 0.0) | ~covered
-        d2 = jnp.where(rel, d2, cap2)
-        better = d2 < d2min
-        d2min = jnp.where(better, d2, d2min)
-        if want_residuals:
-            amin = jnp.where(better, k, amin)
-            rxm = jnp.where(better, dx, rxm)
-            rym = jnp.where(better, dyp, rym)
-            tcm = jnp.where(better, tc, tcm)
+        @pl.when(n_e > lo)
+        def _dist_chunk(lo=lo):
+            d2min = d2_scr[...]
+            if want_residuals:
+                amin = am_scr[...]
+                rxm = rx_scr[...]
+                rym = ry_scr[...]
+                tcm = tc_scr[...]
+            for k in range(lo, min(lo + _EDGE_CHUNK, ke)):
+                ax = seg[0, k]
+                ay = seg[1, k]
+                bx = seg[2, k]
+                by = seg[3, k]
+                flipk = seg[6, k]
+                ex = bx - ax
+                ey = by - ay
+                denom = jnp.maximum(ex * ex + ey * ey, 1e-12)
+                tc = jnp.clip(((px - ax) * ex + (py - ay) * ey) / denom,
+                              0.0, 1.0)
+                dx = px - (ax + tc * ex)
+                dyp = py - (ay + tc * ey)
+                d2 = dx * dx + dyp * dyp
 
+                cross2d = ex * (py - ay) - ey * (px - ax)
+                w_other = winding - flipk * jnp.sign(cross2d)
+                rel = (jnp.abs(w_other) < 0.5) | (cross2d == 0.0) | ~covered
+                d2 = jnp.where(rel, d2, cap2)
+                better = d2 < d2min
+                d2min = jnp.where(better, d2, d2min)
+                if want_residuals:
+                    amin = jnp.where(better, k, amin)
+                    rxm = jnp.where(better, dx, rxm)
+                    rym = jnp.where(better, dyp, rym)
+                    tcm = jnp.where(better, tc, tcm)
+            d2_scr[...] = d2min
+            if want_residuals:
+                am_scr[...] = amin
+                rx_scr[...] = rxm
+                ry_scr[...] = rym
+                tc_scr[...] = tcm
+
+    d2min = d2_scr[...]
     signed = jnp.where(covered, d2min, -d2min)
     sil_ref[0, 0] = jax.nn.sigmoid(signed / sigma)
     if want_residuals:
-        amin_ref, rx_ref, ry_ref, tc_ref = res_refs
-        amin_ref[0, 0] = amin
-        rx_ref[0, 0] = rxm
-        ry_ref[0, 0] = rym
-        tc_ref[0, 0] = tcm
+        amin_ref[0, 0] = am_scr[...]
+        rx_ref[0, 0] = rx_scr[...]
+        ry_ref[0, 0] = ry_scr[...]
+        tc_ref[0, 0] = tc_scr[...]
 
 
 def _flatten_px(x, tile_px: int):
@@ -200,6 +244,10 @@ def _shade_fwd(seg_pack, anchors, static, want_residuals: bool = True):
                  jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
                  jax.ShapeDtypeStruct((B, T) + ps, jnp.float32),
                  jax.ShapeDtypeStruct((B, T) + ps, jnp.float32)][:n_out]
+    scratch = [pltpu.VMEM(ps, jnp.float32), pltpu.VMEM(ps, jnp.float32)]
+    if want_residuals:
+        scratch += [pltpu.VMEM(ps, jnp.int32)] + [
+            pltpu.VMEM(ps, jnp.float32)] * 3
     outs = pl.pallas_call(
         kern,
         grid=(B, T),
@@ -210,6 +258,7 @@ def _shade_fwd(seg_pack, anchors, static, want_residuals: bool = True):
         ],
         out_specs=[px_spec] * n_out,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(seg_pack, _flatten_px(anchors, tile_px))
     sil = _unflatten_px(outs[0], tile_px)
