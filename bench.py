@@ -100,7 +100,8 @@ def bench_joint(frames: int, iters: int, rend: int, subdiv: int):
     return elapsed, compile_s
 
 
-def _synthetic_clip_annots(frames: int, image_size: int, subdiv: int):
+def _synthetic_clip_annots(frames: int, image_size: int, subdiv: int,
+                           mesh=None):
     """In-memory clip annotations (hands/objects/camera) for the GT path."""
     import jax.numpy as jnp
     import numpy as np
@@ -108,7 +109,7 @@ def _synthetic_clip_annots(frames: int, image_size: int, subdiv: int):
     from homan_tpu.core.meshes import bumpy_potato
 
     layer = mano_lib.ManoLayer.synthetic(0)
-    v, f = bumpy_potato(subdiv, 0.08, seed=0)
+    v, f = mesh if mesh is not None else bumpy_potato(subdiv, 0.08, seed=0)
     K = np.array([[image_size * 0.9, 0, image_size / 2],
                   [0, image_size * 0.9, image_size / 2],
                   [0, 0, 1.0]], np.float32)
@@ -280,7 +281,9 @@ def bench_config3(frames: int, iters: int, rend: int, subdiv: int,
 
 def bench_roofline(frames: int, iters: int, rend: int, subdiv: int,
                    headline_steady_s: float, depth_steady_s: float,
-                   depth_frames: int, depth_iters: int):
+                   depth_frames: int, depth_iters: int,
+                   stageb_inits: int = 500, stageb_obj_iters: int = 50,
+                   c3_frames: int = 10, c3_iters: int = 400):
     """MFU / duty-cycle accounting (VERDICT r3 #2).
 
     Two evidence levels:
@@ -379,6 +382,124 @@ def bench_roofline(frames: int, iters: int, rend: int, subdiv: int,
             "top_ops_s": {k[:80]: round(v, 4)
                           for k, v in list(per_op.items())[:5]},
         }
+
+    def _traced_block(run_fn, kernel_flops, label):
+        """Shared trace -> {duty, kernel busy fraction, achieved TF/s}."""
+        jax.block_until_ready(run_fn())  # compile outside the trace
+        st = up.measure_duty_cycle(run_fn)
+        if "device_busy_s" not in st:
+            return {"error": f"no profiler data for {label}"}
+        per = st.get("per_op_s", {})
+        busy = st["device_busy_s"]
+        kern = sum(v for k, v in per.items()
+                   if "custom" in k.lower() or "shade" in k.lower()
+                   or "voxel" in k.lower())
+        if kern == 0 and per:
+            kern = max(per.values())
+        tf = kernel_flops / max(kern, 1e-9) / 1e12
+        return {
+            "duty_cycle_in_span": round(st["duty_cycle"], 3),
+            "device_busy_s": round(busy, 4),
+            "kernel_busy_s": round(kern, 4),
+            "kernel_busy_fraction": round(kern / max(busy, 1e-9), 3),
+            "kernel_achieved_vpu_tflops": round(tf, 3),
+            "kernel_vpu_roofline_fraction":
+                round(tf / peaks["vpu_f32_tflops"], 3),
+            "top_ops_s": {k[:80]: round(v, 4)
+                          for k, v in list(per.items())[:4]},
+        }
+
+    # --- stage B traced (VERDICT r4 weak #3): one candidate-refinement
+    # program — the dominant stage-B cost (refine at half resolution, the
+    # production schedule). Binding resource is named by which bucket
+    # dominates: kernel_busy_fraction ~1 -> VPU shade kernel; low duty
+    # cycle -> host/dispatch; neither -> XLA prep ops.
+    try:
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+        import numpy as np
+        from homan_tpu.core.meshes import bumpy_potato as _potato
+        from homan_tpu.fit import poseinit as _pi
+        from homan_tpu.core import geometry as _geo
+
+        v_b, f_b = _potato(subdiv, 0.08, seed=0)
+        from homan_tpu.render.rasterizer import MeshTopology as _MT
+        topo_b = _MT.from_faces(f_b)
+        refine = rend // 2
+        sett_b = RasterSettings(image_size=refine,
+                                tile_px=_tile_for(refine),
+                                edges_per_tile=64)
+        C = stageb_inits // 4 if stageb_inits >= 64 else stageb_inits
+        rots = _geo.random_rotations(jax.random.PRNGKey(0), C)
+        rot6d = _geo.matrix_to_rot6d(rots)
+        trans = jnp.tile(jnp.asarray([[0.0, 0.0, 0.6]], jnp.float32)[:, None],
+                         (C, 1, 1))
+        ref_m = jnp.zeros((refine, refine), jnp.float32).at[
+            refine // 4: 3 * refine // 4, refine // 4: 3 * refine // 4].set(1)
+        keep_m = jnp.ones_like(ref_m)
+        K_roi = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]],
+                            jnp.float32)
+        trace_b_iters = 10
+
+        def run_b():
+            params, losses, ious, _ = _pi._fit_candidates(
+                jnp.asarray(v_b), topo_b, ref_m, keep_m,
+                jnp.zeros_like(ref_m), K_roi, rot6d, trans, sett_b,
+                num_iterations=trace_b_iters)
+            return losses
+
+        ke_b = min(64, topo_b.edges.shape[0])
+        fl_b = up.shade_flops_per_iter(C, refine, ke_b)
+        out["stageb_traced"] = dict(
+            _traced_block(run_b, fl_b["vpu_flops"] * trace_b_iters,
+                          "stageb"),
+            candidates=C, refine_size=refine, trace_iters=trace_b_iters)
+    except Exception as exc:  # noqa: BLE001
+        out["stageb_traced"] = {"error": str(exc)[:200]}
+
+    # --- grid-SDF traced: short config3 run with sdf_mode="grid" (the
+    # strict reference-semantics path; per-iteration voxelize at 32^3).
+    try:
+        import dataclasses as dc
+        from homan_tpu.frontend.gtsynth import make_synthetic_scene as _mss
+        from homan_tpu.fit import joint as _joint
+
+        c3_rend = 256 if rend >= 256 else rend
+        scene_g = _mss(seed=0, frame_nb=c3_frames,
+                       image_size=max(2 * c3_rend, 128), rend_size=c3_rend,
+                       obj_mesh=_potato(subdiv, 0.08, seed=0))
+        cfg_g = dc.replace(scene_g.cfg, sdf_mode="grid")
+        sett_g = RasterSettings(image_size=c3_rend,
+                                tile_px=_tile_for(c3_rend),
+                                edges_per_tile=48)
+        trace_g_iters = 25
+
+        def run_g():
+            final, _ = _joint.optimize_hand_object(
+                scene_g.init_state, scene_g.consts, cfg_g,
+                loss_weights={"lw_collision": 1e-3, "lw_contact": 1.0},
+                num_iterations=trace_g_iters,
+                closed_hand_faces=scene_g.closed_hand_faces,
+                roi_settings=sett_g)
+            return final
+
+        n_faces = (scene_g.consts.faces_object.faces.shape[0]
+                   + scene_g.closed_hand_faces.shape[0])
+        # Ericson-form voxelizer: ~74 full-tile VPU ops per (cell, face)
+        # (NOTES_ROUND5 "Grid-SDF voxelizer" section), 2 meshes per frame.
+        fl_g = up.voxelize_flops_per_iter(c3_frames, 1, n_faces,
+                                          ops_per_pair=74.0)
+        out["config3_grid_traced"] = dict(
+            _traced_block(run_g, fl_g["vpu_flops"] * trace_g_iters,
+                          "config3_grid"),
+            frames=c3_frames, trace_iters=trace_g_iters,
+            note=("kernel_* lumps all Mosaic custom-calls: shade + "
+                  "voxelizer + depth; TF/s uses the voxelizer op count "
+                  "only, so it is a lower bound on that kernel"))
+    except Exception as exc:  # noqa: BLE001
+        out["config3_grid_traced"] = {"error": str(exc)[:200]}
+
     return (out,)
 
 
@@ -497,6 +618,93 @@ def bench_throughput(n_samples: int, frames: int, inits: int, obj_iters: int,
     },)
 
 
+def bench_throughput_hetero(n_samples: int, frames: int, inits: int,
+                            obj_iters: int, joint_iters: int, rend: int):
+    """Heterogeneous-topology throughput (VERDICT r4 #4): samples cycle 3
+    distinct object meshes spanning 2 shape buckets (two 1280-face potatoes
+    with different vertex content + one 320-face potato), exactly the mixed
+    -YCB-object shape of a real dataset pass (fit_vid_dataset.py:190). Pays
+    what bench_throughput's shared topology never does: MeshTopology host
+    builds per new mesh content and a full program recompile per new shape
+    bucket. Reports the per-bucket first-visit walls (compile evidence),
+    steady per-sample over revisits, and the topology-cache hit rate."""
+    import argparse as ap
+    import jax
+    import numpy as np
+    from homan_tpu.cli.fit_video import build_joint_inputs
+    from homan_tpu.core.meshes import bumpy_potato
+    from homan_tpu.fit import joint
+    from homan_tpu.frontend.gtevidence import prepare_independent_fit
+    from homan_tpu.render import RasterSettings
+    from homan_tpu.render import rasterizer as rast
+
+    meshes = [
+        ("potato1280_a", bumpy_potato(3, 0.08, seed=0)),
+        ("potato1280_b", bumpy_potato(3, 0.08, seed=11)),
+        ("potato320", bumpy_potato(2, 0.08, seed=4)),
+    ]
+    args = ap.Namespace(num_initializations=inits,
+                        num_obj_iterations=obj_iters, seed=0,
+                        stageb_parallel_frames=0)
+    tile = _tile_for(rend)
+    settings = RasterSettings(image_size=rend, tile_px=tile,
+                              edges_per_tile=64)
+    stats0 = dict(rast._TOPOLOGY_CACHE_STATS)
+
+    def one_sample(k):
+        name, mesh = meshes[k % len(meshes)]
+        annots, layer, image_size = _synthetic_clip_annots(
+            frames, max(2 * rend, 128), 3, mesh=mesh)
+        rng = np.random.RandomState(2000 + k)
+        dt = rng.uniform(-0.02, 0.02, size=3).astype(np.float32)
+        annots["objects"][0]["verts3d"] = annots["objects"][0]["verts3d"] + dt
+        indep = prepare_independent_fit(annots, args, None, layer,
+                                        image_size, rend_size=rend)
+        camintr_nc = np.asarray(annots["camera"]["K"], np.float64).copy()
+        camintr_nc[:, :2] = camintr_nc[:, :2] / image_size
+        state, consts, cfg = build_joint_inputs(
+            indep["person_parameters"], indep["object_parameters"],
+            indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
+            indep["hand_sides"], layer, image_size, rend,
+            (image_size, image_size))
+        final, _ = joint.optimize_hand_object(
+            state, consts, cfg, num_iterations=joint_iters,
+            roi_settings=settings)
+        return name, final
+
+    times, names = [], []
+    for k in range(n_samples):
+        t0 = time.perf_counter()
+        name, out = one_sample(k)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+        names.append(name)
+        _tick()
+    first_visit = {}
+    revisit = []
+    for name, t in zip(names, times):
+        if name in first_visit:
+            revisit.append(t)
+        else:
+            first_visit[name] = round(t, 3)
+    revisit_sorted = sorted(revisit) or times
+    steady = revisit_sorted[len(revisit_sorted) // 2]
+    stats1 = rast._TOPOLOGY_CACHE_STATS
+    hits = stats1["hits"] - stats0["hits"]
+    misses = stats1["misses"] - stats0["misses"]
+    return ({
+        "n_samples": n_samples,
+        "meshes": [n for n, _ in meshes],
+        "first_visit_s": first_visit,
+        "per_sample_steady_s": round(steady, 3),
+        "samples_per_hour_chip": round(3600.0 / steady, 1),
+        "topology_cache": {"hits": hits, "misses": misses,
+                           "hit_rate": round(hits / max(hits + misses, 1),
+                                             3)},
+        "all_s": [round(t, 3) for t in times],
+    },)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="full", choices=["full", "smoke"])
@@ -608,6 +816,7 @@ def main():
                     round(g("c3g"), 3),
                 "roofline": vals.get("roofline"),
                 "throughput": vals.get("tput"),
+                "throughput_hetero": vals.get("tput_het"),
                 "jit_cache": {
                     "enabled": bool(cache_dir),
                     "entries_before": cache_before,
@@ -656,7 +865,9 @@ def main():
         n_out=1,
         headline_steady_s=partial["headline"],
         depth_steady_s=partial.get("dp", nan),
-        depth_frames=ec["frames"], depth_iters=depth_iters)
+        depth_frames=ec["frames"], depth_iters=depth_iters,
+        stageb_inits=ec["inits"], stageb_obj_iters=ec["obj_iters"],
+        c3_frames=ec["frames"], c3_iters=c3_iters)
     # Same per-sample shape as bench_pipeline, so per_sample_steady_s is
     # directly comparable to pipeline_10f_s (VERDICT r3 #4's <= ~1.2x bar).
     (partial["tput"],) = soft(
@@ -664,6 +875,10 @@ def main():
         ec["frames"], ec["inits"], ec["obj_iters"],
         201 if args.preset == "full" else 5,
         ec["rend"], ec["subdiv"], n_out=1)
+    (partial["tput_het"],) = soft(
+        bench_throughput_hetero, 9 if args.preset == "full" else 3,
+        ec["frames"], ec["inits"], ec["obj_iters"],
+        201 if args.preset == "full" else 5, ec["rend"], n_out=1)
 
     result = _partial_record(partial)
     _emit(result)

@@ -476,29 +476,47 @@ def main(args):
                     "available devices; running unsharded",
                     state.translations_object.shape[0])
 
-        with timers.time("stageC_joint_fit") as hold:
-            final_state, history = joint.optimize_hand_object(
-                state, consts, cfg, loss_weights=loss_weights,
-                num_iterations=args.num_joint_iterations,
-                closed_hand_faces=closed_hand_faces,
-                roi_settings=roi_settings,
-                viz_step=args.viz_step if args.viz_step else None,
-                viz_callback=viz_callback if args.viz_step else None)
-            hold["sync"] = final_state
-
         # Runtime backstop for the setup-time auto-sizing: demand is
         # re-measured by the renderer at EVERY iteration (losses.py
         # edge_budget_excess metric); any positive excess means dropped
         # contour edges somewhere mid-fit — the converged state cannot be
-        # trusted, so fail the sample loudly instead of saving it.
-        if "edge_budget_excess" in history:
-            excess = float(np.asarray(history["edge_budget_excess"]).max())
-            if excess > 0:
-                raise RuntimeError(
-                    f"edge budget overflowed by {int(excess)} mid-fit "
-                    "(pose moved past the sizing headroom); re-run with a "
-                    "larger RasterSettings.edges_per_tile or a decimated "
-                    "mesh — the converged silhouettes are corrupted")
+        # trusted. RECOVER instead of losing the sample: discard the fit,
+        # bump to the next feasible bucket sized to the MEASURED demand
+        # (rasterizer.bump_edge_settings — the reference's CUDA rasterizer
+        # loops all faces per pixel and cannot overflow, losses.py:73, so
+        # sample loss here would be a TPU-only regression), and re-run
+        # from the same initial state. Hard-fail only when tile_px=16
+        # still cannot cover the demand (genuinely unsatisfiable mesh).
+        from homan_tpu.render.rasterizer import bump_edge_settings
+        for fit_attempt in range(4):  # ladder depth: ke buckets + tile halvings
+            optim_frames.clear()
+            with timers.time("stageC_joint_fit") as hold:
+                final_state, history = joint.optimize_hand_object(
+                    state, consts, cfg, loss_weights=loss_weights,
+                    num_iterations=args.num_joint_iterations,
+                    closed_hand_faces=closed_hand_faces,
+                    roi_settings=roi_settings,
+                    viz_step=args.viz_step if args.viz_step else None,
+                    viz_callback=viz_callback if args.viz_step else None)
+                hold["sync"] = final_state
+            excess = (float(np.asarray(history["edge_budget_excess"]).max())
+                      if "edge_budget_excess" in history else 0.0)
+            if excess <= 0:
+                break
+            cur = (roi_settings if roi_settings is not None
+                   else RasterSettings(image_size=args.rend_size))
+            demand = int(excess) + cur.edges_per_tile
+            roi_settings = bump_edge_settings(cur, demand)  # raises at tile16
+            logger.warning(
+                "edge budget overflowed by %d mid-fit (pose moved past the "
+                "sizing headroom); discarding the fit and re-running with "
+                "edges_per_tile %d -> %d (tile_px %d -> %d), attempt %d",
+                int(excess), cur.edges_per_tile, roi_settings.edges_per_tile,
+                cur.tile_px, roi_settings.tile_px, fit_attempt + 2)
+        else:
+            raise RuntimeError(
+                "edge budget still overflowing after exhausting the "
+                "recovery ladder — the converged silhouettes are corrupted")
 
         np.savez(check_path, **postprocess.state_to_dict(final_state))
 

@@ -114,6 +114,53 @@ def bumpy_potato(subdivisions: int = 2, radius: float = 1.0, seed: int = 0):
     return v.astype(np.float32), f
 
 
+def box_mesh(half_extents=(0.5, 0.5, 0.5)):
+    """Axis-aligned closed box, 8 verts / 12 triangles (outward winding)."""
+    hx, hy, hz = half_extents
+    v = np.array([[sx * hx, sy * hy, sz * hz]
+                  for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                 np.float32)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2],  # -x
+        [4, 6, 7], [4, 7, 5],  # +x
+        [0, 4, 5], [0, 5, 1],  # -y
+        [2, 3, 7], [2, 7, 6],  # +y
+        [0, 2, 6], [0, 6, 4],  # -z
+        [1, 5, 7], [1, 7, 3],  # +z
+    ], np.int32)
+    return v, f
+
+
+def cylinder_mesh(radius: float = 0.5, height: float = 1.0, n_seg: int = 16):
+    """Closed cylinder along z: 2*n_seg rim verts + 2 cap centers."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+    top = np.concatenate([ring, np.full((n_seg, 1), height / 2)], axis=1)
+    bot = np.concatenate([ring, np.full((n_seg, 1), -height / 2)], axis=1)
+    v = np.concatenate([top, bot,
+                        [[0, 0, height / 2]], [[0, 0, -height / 2]]],
+                       axis=0).astype(np.float32)
+    ct, cb = 2 * n_seg, 2 * n_seg + 1
+    f = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        f += [[i, j, ct],                      # top cap
+              [n_seg + j, n_seg + i, cb],      # bottom cap
+              [i, n_seg + i, j], [j, n_seg + i, n_seg + j]]  # side
+    return v, np.asarray(f, np.int32)
+
+
+def merge_meshes(meshes):
+    """Concatenate (verts, faces) pairs into one mesh with offset faces."""
+    verts, faces, off = [], [], 0
+    for v, f in meshes:
+        verts.append(np.asarray(v, np.float32))
+        faces.append(np.asarray(f, np.int64) + off)
+        off += len(v)
+    return (np.concatenate(verts).astype(np.float32),
+            np.concatenate(faces).astype(np.int32))
+
+
 def decimate(verts: np.ndarray, faces: np.ndarray, target_faces: int):
     """Cheap vertex-clustering decimation for coarse-fit meshes.
 

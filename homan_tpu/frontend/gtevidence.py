@@ -41,6 +41,65 @@ def render_full_mask(verts: np.ndarray, topo: MeshTopology, K_px: np.ndarray,
     return masks
 
 
+def render_instance_masks(verts_list, faces_list, K_px: np.ndarray,
+                          image_size: int):
+    """Per-instance VISIBILITY masks from ONE z-buffered combined render —
+    the reference's render_gt_masks semantics (homan/prepare/gtmasks.py:
+    27-86: all hand+object meshes in a single scene, one-hot instance
+    colors packed into the RGB channels, so instances occlude each other
+    exactly like real detections would). Rendering each mesh separately
+    (the pre-round-5 behavior) marks hand pixels BEHIND the object as hand
+    evidence and vice versa, which flips the {-1,0,1} target encodings
+    wherever hand and object overlap — found by the full-driver parity
+    test (hand-target agreement 0.37 vs the reference).
+
+    Args:
+      verts_list: list of (B, Vi, 3) per-instance camera-space verts.
+      faces_list: list of (Fi, 3) per-instance faces.
+    Returns:
+      list of (B, H, W) bool visibility masks, one per instance.
+    """
+    from homan_tpu.core.meshes import merge_meshes
+    from homan_tpu.render import rasterize_hard
+
+    n = len(verts_list)
+    assert 1 <= n <= 3, "instance masks ride the RGB channels (<= 3), like " \
+        "the reference's one-hot textures (gtmasks.py:40-68)"
+    B = verts_list[0].shape[0]
+    merged_v, merged_f = merge_meshes(
+        [(np.zeros((v.shape[1], 3), np.float32), f)
+         for v, f in zip(verts_list, faces_list)])
+    verts = np.concatenate([np.asarray(v, np.float32) for v in verts_list],
+                           axis=1)
+    colors = np.zeros((merged_f.shape[0], 3), np.float32)
+    off = 0
+    for i, f in enumerate(faces_list):
+        colors[off:off + len(np.asarray(f)), i] = 1.0
+        off += len(np.asarray(f))
+    topo = MeshTopology.from_faces(merged_f)
+
+    Kn = np.asarray(K_px, np.float64).copy()
+    Kn[:, :2] = Kn[:, :2] / image_size
+    settings = RasterSettings(image_size=min(image_size, 256),
+                              edges_per_tile=128)
+    out = rasterize_hard(jnp.asarray(verts), topo,
+                         jnp.asarray(Kn, jnp.float32), jnp.asarray(colors),
+                         settings, background=0.0, ambient=1.0, diffuse=0.0,
+                         specular=0.0, shading="flat")
+    rgb = np.asarray(out["rgb"])  # (B, S, S, 3)
+    masks = []
+    for i in range(n):
+        m = rgb[..., i] > 0.5
+        if settings.image_size != image_size:
+            full = np.tile(np.array(
+                [[0, 0, settings.image_size, settings.image_size]],
+                np.float32), (B, 1))
+            m = mask_lib.crop_and_resize(m.astype(np.float32), full,
+                                         image_size) >= 0.5
+        masks.append(m)
+    return masks
+
+
 def procrustes_rigid(src: np.ndarray, dst: np.ndarray):
     """Best-fit rotation/translation dst ~ src @ R + t (row-vector R, the
     model convention). The FrankMocap global-pose initialization of the
@@ -96,18 +155,22 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
         parallel_frames=bool(getattr(args, "stageb_parallel_frames", 0)),
         block=False)
 
-    # ---- GT masks ---------------------------------------------------------
-    obj_masks = render_full_mask(np.asarray(obj["verts3d"], np.float32),
-                                 obj_topo, K_px, image_size)
-    hand_topo = MeshTopology.from_faces(np.asarray(mano_layer.faces("right")))
-    hand_masks_all = []
-    for hand in hand_infos:
-        hv = np.asarray(hand["verts3d"], np.float32)
-        if np.abs(hv).sum() == 0:
-            hand_masks_all.append(np.zeros_like(obj_masks))
-        else:
-            hand_masks_all.append(render_full_mask(hv, hand_topo, K_px,
-                                                   image_size))
+    # ---- GT masks: one combined z-buffered scene, per-instance VISIBILITY
+    # (the reference's render_gt_masks semantics — see render_instance_masks;
+    # hands without GT verts keep empty masks and stay out of the scene).
+    hand_faces = np.asarray(mano_layer.faces("right"))
+    live = [h for h in range(H)
+            if np.abs(np.asarray(hand_infos[h]["verts3d"])).sum() > 0]
+    scene_verts = [np.asarray(hand_infos[h]["verts3d"], np.float32)
+                   for h in live]
+    scene_faces = [hand_faces for _ in live]
+    scene_verts.append(np.asarray(obj["verts3d"], np.float32))
+    scene_faces.append(np.asarray(obj_faces))
+    vis = render_instance_masks(scene_verts, scene_faces, K_px, image_size)
+    obj_masks = vis[-1]
+    hand_masks_all = [np.zeros_like(obj_masks) for _ in range(H)]
+    for i, h in enumerate(live):
+        hand_masks_all[h] = vis[i]
 
     # ---- Object evidence + stage-B search ---------------------------------
     from homan_tpu.frontend.evidence import build_object_mask_info
@@ -164,7 +227,14 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
             # the joint fit from keypoint/silhouette evidence.
             R_init, t_init = procrustes_rigid(rest_by_side[side], hv)
             mano_trans = hv.mean(0) * 0  # local frame at origin
-            rows["verts"].append(hv)
+            # verts_hand_og must be LOCAL-frame (the reference stores
+            # FrankMocap's hand-frame verts and composes verts_og @ R + t,
+            # homan/homan.py:357-378); storing the posed GT verts here
+            # would double-apply (R_init, t_init) at initialization when
+            # optimize_mano=0. The exact local twin of the GT verts keeps
+            # any GT articulation: (hv - t) @ R^T inverts the row-vector
+            # transform, so init renders land exactly on the GT masks.
+            rows["verts"].append((hv - t_init) @ R_init.T)
             rows["verts2d"].append(uv.astype(np.float32))
             rows["rotations"].append(R_init)
             rows["translations"].append(t_init[None])

@@ -75,7 +75,12 @@ def _pixel_grids(tile_px: int):
     return ix.astype(jnp.float32), iy.astype(jnp.float32)
 
 
-_EDGE_CHUNK = 16  # edge slots per conditionally-executed chunk
+# Edge slots per conditionally-executed chunk. Swept on the real chip
+# (scripts/ab_shade.py, 30f/256^2/tile128/ke48, slope-timed fwd+bwd ms):
+# chunk 8 -> 0.966, 16 -> 1.013, ke (no adaptivity) -> 1.376; full headline
+# fit 0.706 s (chunk 8) vs 0.728 s (chunk 16). Skipped chunks are
+# bit-identical no-ops on-chip (max|dsil| = rel|dgrad| = 0 in the sweep).
+_EDGE_CHUNK = 8
 
 
 def _shade_fwd_kernel(seg_ref, anchor_ref, sil_ref, *rest,

@@ -75,7 +75,16 @@ class RasterSettings:
     use_pallas: bool | None = None
 
 
-_TOPOLOGY_CACHE: dict = {}  # (shape, content-hash) -> MeshTopology
+from collections import OrderedDict
+
+# (shape, content-hash) -> MeshTopology; LRU (move-to-end on hit) so a
+# dataset pass cycling the 21 YCB objects + hand topologies keeps every one
+# resident (FIFO at 16 evicted the hand mesh every cycle on mixed-object
+# runs — bench_throughput_hetero's cache-hit-rate block is the regression
+# evidence). Each entry holds a few MB of int32 device arrays.
+_TOPOLOGY_CACHE: "OrderedDict" = OrderedDict()
+_TOPOLOGY_CACHE_CAP = 64
+_TOPOLOGY_CACHE_STATS = {"hits": 0, "misses": 0}
 
 
 @jax.tree_util.register_dataclass
@@ -114,10 +123,13 @@ class MeshTopology:
         key = (f.shape, hash(np.ascontiguousarray(f).tobytes()))
         hit = _TOPOLOGY_CACHE.get(key)
         if hit is not None:
+            _TOPOLOGY_CACHE.move_to_end(key)
+            _TOPOLOGY_CACHE_STATS["hits"] += 1
             return hit
+        _TOPOLOGY_CACHE_STATS["misses"] += 1
         topo = cls._build_from_faces(f)
-        if len(_TOPOLOGY_CACHE) >= 16:  # bound device-array retention
-            _TOPOLOGY_CACHE.pop(next(iter(_TOPOLOGY_CACHE)))
+        if len(_TOPOLOGY_CACHE) >= _TOPOLOGY_CACHE_CAP:
+            _TOPOLOGY_CACHE.popitem(last=False)  # evict least-recently-used
         _TOPOLOGY_CACHE[key] = topo
         return topo
 
@@ -988,5 +1000,41 @@ def auto_edge_settings(verts, topology, K,
                 f"with {safety}x headroom) exceeds the VMEM ceiling "
                 f"{ceiling} at tile_px={s.tile_px}; the mesh is too dense "
                 f"for exact contour binning at image_size={s.image_size} — "
+                f"decimate the mesh (cli/process_meshes) or lower rend_size")
+        s = dataclasses.replace(s, tile_px=s.tile_px // 2)
+
+
+def bump_edge_settings(settings: RasterSettings, demand: int,
+                       safety: float = 1.3,
+                       buckets=EDGE_BUCKETS) -> RasterSettings:
+    """Next feasible settings covering a MEASURED mid-fit demand.
+
+    Recovery path for the runtime backstop: auto_edge_settings sizes the
+    budget at the initial poses with 1.3x headroom, but a fit whose motion
+    exceeds that headroom reports a positive `edge_budget_excess` — the
+    demand here is excess + old capacity, i.e. exact, so the re-run's
+    budget is sized to what the fit actually needed (plus fresh headroom
+    for its own motion). Unlike auto_edge_settings this never re-measures
+    (the overflowing poses are gone with the discarded fit); the measured
+    per-tile demand is a valid upper bound for smaller tiles too (a
+    smaller tile intersects a subset of the edges). Raises the same
+    RuntimeError when tile_px=16 cannot cover it — that case is genuinely
+    unsatisfiable and must stay a hard failure.
+    """
+    import dataclasses
+
+    s = settings
+    need = int(np.ceil(demand * safety))
+    while True:
+        ceiling = EDGE_BUDGET_VMEM_CEILING.get(s.tile_px, buckets[0])
+        feasible = [b for b in buckets
+                    if b >= need and b <= ceiling and b > s.edges_per_tile]
+        if feasible:
+            return dataclasses.replace(s, edges_per_tile=feasible[0])
+        if s.tile_px <= 16 or s.tile_px // 2 > s.image_size:
+            raise RuntimeError(
+                f"edge budget unsatisfiable mid-fit: measured demand "
+                f"{demand} (need {need} with {safety}x headroom) exceeds "
+                f"the VMEM ceiling {ceiling} at tile_px={s.tile_px}; "
                 f"decimate the mesh (cli/process_meshes) or lower rend_size")
         s = dataclasses.replace(s, tile_px=s.tile_px // 2)

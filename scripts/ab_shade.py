@@ -384,8 +384,31 @@ def main():
             anch.shape[:2] + (tile_px, tile_px)), st)
         return out.reshape(out.shape[:2] + ps)
 
+    def make_chunk_variant(chunk):
+        """Shipped kernel with _EDGE_CHUNK overridden (read at trace time).
+
+        chunk >= ke collapses the per-instance `pl.when` adaptivity to a
+        single all-or-nothing chunk (the pre-r4-final kernel modulo the
+        empty-tile skip) — the A/B for the snapshot-commit edge-chunking
+        change. Skipped chunks must be bit-identical no-ops: the max|dsil|
+        / rel|dgrad| columns against A_shipped are the on-chip proof.
+        """
+        def fn(sp, anch, st):
+            import homan_tpu.render.pallas_shade as psh
+            old = psh._EDGE_CHUNK
+            psh._EDGE_CHUNK = chunk  # active during jit tracing (fn body)
+            try:
+                out = shade_tiles_pallas(sp, anch.reshape(
+                    anch.shape[:2] + (tile_px, tile_px)), st)
+            finally:
+                psh._EDGE_CHUNK = old
+            return out.reshape(out.shape[:2] + ps)
+        return fn
+
     variants = {
         "A_shipped": shipped,
+        "A_chunk8": make_chunk_variant(8),
+        "A_chunk_ke": make_chunk_variant(10 ** 6),
         "B_recip": make_shade("B", ericson=False, defer=False, rchunk=None),
         "C_ericson": make_shade("C", ericson=True, defer=False, rchunk=None),
         "D_defer": make_shade("D", ericson=True, defer=True, rchunk=None),

@@ -528,3 +528,31 @@ def test_pallas_vs_xla_fuzz_random_scenes():
         np.testing.assert_allclose(grads[True] / scale_g,
                                    grads[False] / scale_g,
                                    atol=2e-5, err_msg=tag)
+
+
+def test_bump_edge_settings_ladder():
+    """Mid-fit overflow recovery (VERDICT r4 missing #3): bump_edge_settings
+    must pick the next feasible bucket covering measured demand + headroom,
+    halve tile_px past the VMEM ceiling, and raise only at tile_px=16."""
+    import dataclasses
+
+    import pytest
+    from homan_tpu.render.rasterizer import (EDGE_BUDGET_VMEM_CEILING,
+                                             RasterSettings,
+                                             bump_edge_settings)
+
+    s = RasterSettings(image_size=256, tile_px=128, edges_per_tile=48)
+    # demand 60 -> need 78 -> bucket 96 (<= tile128 ceiling 96)
+    b = bump_edge_settings(s, 60)
+    assert (b.edges_per_tile, b.tile_px) == (96, 128)
+    # demand 90 -> need 117 > tile128 ceiling 96 -> tile 64, bucket 128
+    b = bump_edge_settings(s, 90)
+    assert (b.edges_per_tile, b.tile_px) == (128, 64)
+    # capacity must strictly INCREASE even when the old value is a bucket
+    s2 = dataclasses.replace(s, edges_per_tile=96)
+    b = bump_edge_settings(s2, 70)  # need 91 <= 96 but 96 is not a bump
+    assert b.edges_per_tile > 96
+    # unsatisfiable: past every ceiling at tile 16
+    s3 = RasterSettings(image_size=256, tile_px=16, edges_per_tile=512)
+    with pytest.raises(RuntimeError):
+        bump_edge_settings(s3, 600)

@@ -84,6 +84,7 @@ def ref(tmp_path_factory):
     class _NrRenderer:
         def __init__(self, image_size=None, K=None, R=None, t=None,
                      orig_size=1, **kw):
+            self.image_size = image_size
             self.K, self.R, self.t = K, R, t
             self.dist_coeffs = torch.zeros(
                 (K.shape[0] if K is not None else 1, 5))
@@ -97,8 +98,17 @@ def ref(tmp_path_factory):
             self.render_fn = None
 
         default_render_fn = None
+        # Full textured render contract `renderer(verts, faces, textures,
+        # K=...) -> (rgb, sil, depth)` (homan/prepare/gtmasks.py:79): set by
+        # the driver-parity test to a bridge over our rasterize_hard.
+        default_rgb_render_fn = None
 
-        def __call__(self, verts, faces, K=None, mode=None):
+        def __call__(self, verts, faces, textures=None, K=None, mode=None):
+            if textures is not None and mode is None:
+                fn = type(self).default_rgb_render_fn
+                assert fn is not None, "rgb render not bridged"
+                return fn(verts, faces, textures,
+                          self.K if K is None else K, self)
             fn = self.render_fn or type(self).default_render_fn
             if fn is not None:
                 return fn(verts, self.K if K is None else K)
