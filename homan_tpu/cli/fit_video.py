@@ -135,7 +135,9 @@ def get_args(argv=None):
 def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
                        obj_faces, camintr_nc, hand_sides, mano_layer,
                        image_size, rend_size, masks_shape,
-                       sdf_mode="direct", collision_mode="sdf"):
+                       sdf_mode="direct", collision_mode="sdf",
+                       optimize_mano=True, optimize_mano_beta=True,
+                       optimize_object_scale=False, hand_proj_mode="persp"):
     """person/object parameter dicts -> (state, consts, cfg)
     (homan/jointopt.py:52-124 role)."""
     import jax.numpy as jnp
@@ -146,7 +148,11 @@ def build_joint_inputs(person_parameters, object_parameters, obj_verts_can,
     H = len(hand_sides)
     cfg = M.HomanConfig(hand_sides=tuple(hand_sides), image_size=image_size,
                         rend_size=rend_size, sdf_mode=sdf_mode,
-                        collision_mode=collision_mode)
+                        collision_mode=collision_mode,
+                        optimize_mano=bool(optimize_mano),
+                        optimize_mano_beta=bool(optimize_mano_beta),
+                        optimize_object_scale=bool(optimize_object_scale),
+                        hand_proj_mode=hand_proj_mode)
 
     # jnp concatenation keeps stage-B outputs resident on device: np here
     # would round-trip every mask/param through the host (seconds on a
@@ -274,7 +280,11 @@ def _spawn_joint_prewarm(annots, args, mano_layer, image_size, loss_weights,
             state, consts, cfg = build_joint_inputs(
                 person, objp, overts, ofaces, camintr, hand_sides,
                 mano_layer, image_size, R, (image_size, image_size),
-                sdf_mode=args.sdf_mode, collision_mode=args.collision_mode)
+                sdf_mode=args.sdf_mode, collision_mode=args.collision_mode,
+                optimize_mano=args.optimize_mano,
+                optimize_mano_beta=args.optimize_mano_beta,
+                optimize_object_scale=args.optimize_object_scale,
+                hand_proj_mode=args.hand_proj_mode)
             joint.prewarm(state, consts, cfg, loss_weights=loss_weights,
                           num_iterations=args.num_joint_iterations,
                           closed_hand_faces=closed_hand_faces,
@@ -403,7 +413,11 @@ def main(args):
                 indep["obj_verts_can"], indep["obj_faces"], camintr_nc,
                 indep["hand_sides"], mano_layer, image_size, args.rend_size,
                 (image_size, image_size), sdf_mode=args.sdf_mode,
-                collision_mode=args.collision_mode)
+                collision_mode=args.collision_mode,
+                optimize_mano=args.optimize_mano,
+                optimize_mano_beta=args.optimize_mano_beta,
+                optimize_object_scale=args.optimize_object_scale,
+                hand_proj_mode=args.hand_proj_mode)
         if state_override is not None:
             state = postprocess.state_from_dict(state_override)
 
@@ -555,14 +569,17 @@ def main(args):
         from homan_tpu.viz.render_viz import _viz_device_ctx
         with timers.time("metrics_postprocess"), _viz_device_ctx():
             import jax.numpy as jnp
+            vh_og = jax.device_get(consts.verts_hand_og)
             fit = postprocess.post_process(
                 jax.device_get(final_state),
                 jax.device_get(consts.mano_params_by_side),
-                jax.device_get(consts.verts_object_og), cfg)
+                jax.device_get(consts.verts_object_og), cfg,
+                verts_hand_og=vh_og)
             init = postprocess.post_process(
                 jax.device_get(state),
                 jax.device_get(consts.mano_params_by_side),
-                jax.device_get(consts.verts_object_og), cfg)
+                jax.device_get(consts.verts_object_og), cfg,
+                verts_hand_og=vh_og)
             gt_obj = None
             if "verts3d" in annots["objects"][0] and annots["objects"][0][
                     "verts3d"] is not None:

@@ -32,15 +32,23 @@ def state_from_dict(d: Dict[str, np.ndarray]) -> M.HomanState:
 
 
 def post_process(state: M.HomanState, mano_params_by_side: Dict,
-                 verts_object_og: jnp.ndarray, cfg: M.HomanConfig) -> Dict:
+                 verts_object_og: jnp.ndarray, cfg: M.HomanConfig,
+                 verts_hand_og: jnp.ndarray | None = None) -> Dict:
     """Final geometry from fit parameters (homan/postprocess.py:16-136).
 
+    Args:
+      verts_hand_og: (B*H, 778, 3) local-frame hand verts — required when
+        cfg.optimize_mano is False (the rigid path poses the STORED verts,
+        homan/homan.py:341-358, instead of running MANO).
     Returns dict: verts_object (B, Vo, 3), verts_hand (B*H, 778, 3),
     joints_hand (B*H, 21, 3).
     """
     consts_min = M.HomanConsts(
         verts_object_og=jnp.asarray(verts_object_og),
-        faces_object=None, verts_hand_og=None, faces_hand=None,
+        faces_object=None,
+        verts_hand_og=(None if verts_hand_og is None
+                       else jnp.asarray(verts_hand_og)),
+        faces_hand=None,
         ref_verts2d_hand=None, ref_mask_object=None, keep_mask_object=None,
         ref_mask_hand=None, keep_mask_hand=None, camintr_rois_object=None,
         camintr_rois_hand=None, camintr=None,

@@ -249,10 +249,27 @@ def prepare_independent_fit(annots: Dict, args, dataset, mano_layer,
                          if k not in ("target_masks", "K_roi") and len(v)}
 
     # ---- Occlusion-aware hand targets (maskutils.add_target_hand_occlusions)
+    # Hand ROI boxes: the reference driver squares the DATASET's GT hand
+    # boxes with a 0.1 expansion before any evidence flows
+    # (fit_vid_dataset.py:213-226) and those squared boxes become
+    # person_parameters["bboxes"], hence the hand K_roi/target crops. Use
+    # the same convention when the dataset provides hand boxes; fall back
+    # to the rendered-mask tight box (hands without GT never have one).
+    from homan_tpu.core import bbox as bbox_ops
     bboxes = []
     for t in range(T):
         for h in range(H):
-            bboxes.append(mask_to_bbox(hand_masks_all[h][t]))
+            hb = hand_infos[h].get("bbox")
+            if hb is not None and np.asarray(hb).size:
+                hb = np.asarray(hb, np.float32)
+                box_t = hb[t] if hb.ndim == 2 else hb
+                sq = bbox_ops.make_bbox_square(
+                    bbox_ops.bbox_xy_to_wh(box_t), bbox_expansion=0.1)
+                bboxes.append(np.asarray(
+                    bbox_ops.bbox_wh_to_xy(np.clip(sq, 0, None)),
+                    np.float32))
+            else:
+                bboxes.append(mask_to_bbox(hand_masks_all[h][t]))
     pp = {"bboxes": np.stack(bboxes), "masks": person_parameters["masks"]}
     # One vectorized call over all T*H rows, with per-row object masks and
     # intrinsics (row order matches the interleaved layout: i = t*H + h).
